@@ -1,0 +1,141 @@
+"""FFT parity tests against numpy float64 oracles.
+
+Mirrors the reference FFT_Tester (- Test/FFT_Tester/FFT_Tester/main.cpp): size sweeps
+over all transforms, zip/unzip round-trip exactness, plus convention checks (packing,
+scaling) that the reference only documents implicitly through downstream scale
+factors.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hisstools_library_tpu import fft
+
+SIZES = [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 1 << 14]
+BACKENDS = ["xla", "matmul"]
+
+
+def packed_oracle(x):
+    """Reference packing: 2x spectrum, N/2 bins, Nyquist in im[0] (float64)."""
+    X = np.fft.rfft(x, axis=-1)
+    re = 2.0 * X.real
+    im = 2.0 * X.imag
+    im = np.concatenate([re[..., -1:], im[..., 1:-1]], axis=-1)
+    return re[..., :-1], im
+
+
+def snr_db(ref, test):
+    err = np.asarray(test, np.float64) - ref
+    denom = np.sum(err * err)
+    if denom == 0:
+        return np.inf
+    return 10.0 * np.log10(np.sum(ref * ref) / denom)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("n", SIZES)
+def test_rfft_matches_packed_oracle(rng, backend, n):
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    re, im = fft.rfft(jnp.asarray(x), backend=backend)
+    ore, oim = packed_oracle(x.astype(np.float64))
+    scale = np.abs(ore).max()
+    assert np.abs(np.asarray(re) - ore).max() / scale < 2e-5
+    assert np.abs(np.asarray(im) - oim).max() / scale < 2e-5
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("n", SIZES)
+def test_rfft_rifft_roundtrip_is_2N(rng, backend, n):
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = fft.rfft(jnp.asarray(x), backend=backend)
+    y = fft.rifft(re, im, backend=backend)
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > 100.0
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("n", SIZES)
+def test_complex_fft_unscaled(rng, backend, n):
+    zr = rng.standard_normal((2, n)).astype(np.float32)
+    zi = rng.standard_normal((2, n)).astype(np.float32)
+    fr, fi = fft.fft(jnp.asarray(zr), jnp.asarray(zi), backend=backend)
+    Z = np.fft.fft(zr.astype(np.float64) + 1j * zi.astype(np.float64), axis=-1)
+    scale = np.abs(Z).max()
+    assert np.abs(np.asarray(fr) - Z.real).max() / scale < 2e-5
+    assert np.abs(np.asarray(fi) - Z.imag).max() / scale < 2e-5
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("n", [8, 256, 4096])
+def test_complex_ifft_is_unscaled_inverse(rng, backend, n):
+    zr = rng.standard_normal((n,)).astype(np.float32)
+    zi = rng.standard_normal((n,)).astype(np.float32)
+    fr, fi = fft.fft(jnp.asarray(zr), jnp.asarray(zi), backend=backend)
+    gr, gi = fft.ifft(fr, fi, backend=backend)
+    # fft then unscaled ifft = N * identity (reference convention: no 1/N anywhere)
+    assert snr_db(n * zr.astype(np.float64), gr) > 100.0
+    assert snr_db(n * zi.astype(np.float64), gi) > 100.0
+
+
+def test_zip_unzip_roundtrip_exact(rng):
+    # The reference's only hard-FAIL correctness test (FFT_Tester main.cpp:202-250).
+    for n in [2, 8, 64, 1024, 1 << 16]:
+        x = rng.standard_normal((n,)).astype(np.float32)
+        re, im = fft.unzip(jnp.asarray(x))
+        y = fft.zip_split(re, im)
+        assert np.array_equal(np.asarray(y), x)
+        assert np.array_equal(np.asarray(re), x[0::2])
+        assert np.array_equal(np.asarray(im), x[1::2])
+
+
+def test_unzip_zero_pads(rng):
+    x = rng.standard_normal((10,)).astype(np.float32)
+    re, im = fft.unzip_zero(jnp.asarray(x), 32)
+    assert re.shape[-1] == 16 and im.shape[-1] == 16
+    assert np.array_equal(np.asarray(re)[:5], x[0::2])
+    assert np.all(np.asarray(re)[5:] == 0)
+    assert np.all(np.asarray(im)[5:] == 0)
+
+
+def test_rfft_padded(rng):
+    x = rng.standard_normal((100,)).astype(np.float32)
+    re, im = fft.rfft_padded(jnp.asarray(x), 256)
+    xp = np.zeros(256, np.float64)
+    xp[:100] = x
+    ore, oim = packed_oracle(xp)
+    assert np.abs(np.asarray(re) - ore).max() < 1e-4
+    assert np.abs(np.asarray(im) - oim).max() < 1e-4
+
+
+def test_pack_unpack_spectrum_roundtrip(rng):
+    from hisstools_library_tpu.core.types import Split
+    x = rng.standard_normal((64,)).astype(np.float32)
+    re, im = fft.rfft(jnp.asarray(x))
+    fr, fi = fft.unpack_spectrum(Split(re, im))
+    X = np.fft.rfft(x.astype(np.float64))
+    assert np.abs(np.asarray(fr) - X.real).max() < 1e-4
+    assert np.abs(np.asarray(fi) - X.imag).max() < 1e-4
+    s2 = fft.pack_spectrum(fr, fi)
+    assert np.abs(np.asarray(s2.re) - np.asarray(re)).max() < 1e-5
+
+
+@pytest.mark.parametrize("n", [1 << 16, 1 << 18])
+def test_large_sizes_matmul(rng, n):
+    # Crash-sweep analogue of FFT_Tester crash_test for large sizes (2^16..2^18).
+    x = rng.standard_normal((n,)).astype(np.float32)
+    re, im = fft.rfft(jnp.asarray(x), backend="matmul")
+    y = fft.rifft(re, im, backend="matmul")
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > 90.0
+
+
+def test_float64_path(rng):
+    # f64 parity path (reference supports double throughout; TPU emulates f64 but
+    # CPU tests exercise it exactly).
+    n = 1024
+    x = rng.standard_normal((n,)).astype(np.float64)
+    re, im = fft.rfft(jnp.asarray(x))
+    ore, oim = packed_oracle(x)
+    assert np.abs(np.asarray(re) - ore).max() < 1e-9
+    y = fft.rifft(re, im)
+    assert snr_db(2.0 * n * x, y) > 200.0
