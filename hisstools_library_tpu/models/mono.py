@@ -1,0 +1,253 @@
+"""Non-uniform partitioned convolution schemes — zero/short/medium latency.
+
+TPU-native counterpart of ``HISSTools::MonoConvolve``
+(/root/reference/HIRT_Multichannel_Convolution/MonoConvolve.cpp). The reference
+chains an optional time-domain head with up to four partitioned sections of
+increasing FFT size; section boundaries follow ``setPartitions`` (:203-258):
+
+- sizes A < B < C < D validated in 2^5..2^20,
+- zero-latency: TD head covers ``ir[0 : A/2]``; with latency, offsets start at 0,
+- each non-final section covers ``(next - size)/2`` samples starting at the running
+  offset; the final section covers the remainder,
+- presets (MonoConvolve.cpp:26-31): Zero = TD + 256/1024/4096/16384,
+  Short = 256/1024/4096/16384 (latency A/2 = 128), Medium = 1024/4096/16384.
+
+Here the scheme is a static plan (host-side dataclass); processing sums the
+sections' outputs, each of which is internally aligned because every section's IR
+offset equals (or exceeds by a constant) its own hop — see partitioned.py. The
+reference's RT-safe IR hot-swap (``MemorySwap``) has no TPU equivalent in the
+functional engine: "swapping" an IR is replacing the spectra pytree between steps
+(see utils/memory_swap.py for the host-side runtime counterpart). Reset-offset
+staggering (MonoConvolve.cpp:80-99) is a uniprocessor load-balancing device with no
+effect on output; on TPU all sections process in parallel so it is intentionally
+not reproduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.errors import ConvolveError, ConvolveException
+from ..core.types import Split
+from . import partitioned as part
+from . import time_domain as td
+
+
+class LatencyMode(enum.Enum):
+    Zero = 0
+    Short = 1
+    Medium = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SectionPlan:
+    """One partitioned section: FFT size + the IR window it owns."""
+    fft_size: int
+    offset: int
+    length: int  # 0 = remainder of the IR
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionScheme:
+    """Static partition plan (reference setPartitions, MonoConvolve.cpp:203-258)."""
+
+    sizes: Tuple[int, ...]
+    zero_latency: bool
+
+    def __post_init__(self):
+        prev = 0
+        for s in self.sizes:
+            log2s = s.bit_length() - 1
+            if (1 << log2s) != s or not (5 <= log2s <= 20) or s <= prev:
+                raise ConvolveException(ConvolveError.FFT_SIZE_OUT_OF_RANGE,
+                                        f"invalid FFT size/order {self.sizes}")
+            prev = s
+        if not self.sizes:
+            raise ConvolveException(ConvolveError.FFT_SIZE_OUT_OF_RANGE,
+                                    "no valid FFT sizes given")
+
+    @classmethod
+    def from_latency(cls, mode: LatencyMode) -> "PartitionScheme":
+        if mode == LatencyMode.Zero:
+            return cls((256, 1024, 4096, 16384), True)
+        if mode == LatencyMode.Short:
+            return cls((256, 1024, 4096, 16384), False)
+        return cls((1024, 4096, 16384), False)
+
+    @property
+    def latency(self) -> int:
+        """Output delay in samples (0 for zero-latency, else A/2)."""
+        return 0 if self.zero_latency else self.sizes[0] >> 1
+
+    @property
+    def head_taps(self) -> int:
+        return self.sizes[0] >> 1 if self.zero_latency else 0
+
+    def sections(self) -> List[SectionPlan]:
+        """The per-section IR windows (reference createPart logic)."""
+        sizes = self.sizes
+        n = len(sizes)
+        offset = sizes[0] >> 1 if self.zero_latency else 0
+        plans: List[SectionPlan] = []
+
+        def add(size: int, nxt: int):
+            nonlocal offset
+            cover = (nxt - size) >> 1
+            plans.append(SectionPlan(size, offset, cover))
+            offset += cover
+
+        if n == 4:
+            add(sizes[0], sizes[1])
+        if n > 2:
+            add(sizes[n - 3], sizes[n - 2])
+        if n > 1:
+            add(sizes[n - 2], sizes[n - 1])
+        plans.append(SectionPlan(sizes[-1], offset, 0))  # resizable final section
+        return plans
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MonoState:
+    """Streaming state: TD-head tail + one PartitionedState per section."""
+    head: jax.Array
+    sections: Tuple[part.PartitionedState, ...]
+
+    def tree_flatten(self):
+        return (self.head, self.sections), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MonoIR:
+    """Device-resident prepared impulse: head taps + per-section spectra."""
+    head_taps: jax.Array
+    spectra: Tuple[Split, ...]
+
+    def tree_flatten(self):
+        return (self.head_taps, self.spectra), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class MonoConvolve:
+    """Non-uniform partitioned convolver for one IR (N x M routing lives in
+    multichannel.py). Pure processing functions; configuration is host-side."""
+
+    def __init__(self, max_length: int = 16384,
+                 latency: LatencyMode = LatencyMode.Zero,
+                 scheme: Optional[PartitionScheme] = None):
+        self.scheme = scheme if scheme is not None else PartitionScheme.from_latency(latency)
+        self.max_length = max_length
+        self.plans = self.scheme.sections()
+        self.ir: Optional[MonoIR] = None
+        self.length = 0
+
+    def resize(self, length: int) -> ConvolveError:
+        """Grow the final section's capacity (reference MonoConvolve::resize,
+        :101-111). Functionally a no-op here — spectra are rebuilt by set()."""
+        self.max_length = max(self.max_length, length)
+        return ConvolveError.NONE
+
+    def set(self, ir, dtype=jnp.float32, request_resize: bool = True,
+            backend: Optional[str] = None) -> ConvolveError:
+        """Prepare the IR: head taps + per-section partition spectra
+        (reference MonoConvolve::set, :118-140)."""
+        ir = np.asarray(ir)
+        err = ConvolveError.NONE
+        if ir.shape[-1] > self.max_length:
+            if request_resize:
+                self.resize(ir.shape[-1])
+            else:
+                err = ConvolveError.MEM_ALLOC_TOO_SMALL
+        self.ir = prepare_ir(self.scheme, ir, self.max_length, dtype, backend)
+        self.length = ir.shape[-1]
+        return err
+
+    def init_state(self, batch_shape=(), dtype=jnp.float32) -> MonoState:
+        if self.ir is None:
+            raise ConvolveException(ConvolveError.MEM_UNAVAILABLE, "no IR set")
+        return init_state(self.scheme, self.ir, batch_shape, dtype)
+
+    @property
+    def block_size(self) -> int:
+        """Smallest supported streaming block (the largest section's hop)."""
+        return self.scheme.sizes[-1] >> 1
+
+    def process(self, state: MonoState, x: jax.Array,
+                backend: Optional[str] = None) -> Tuple[MonoState, jax.Array]:
+        return process(self.ir, state, x, backend=backend)
+
+    def process_offline(self, x: jax.Array,
+                        backend: Optional[str] = None) -> jax.Array:
+        return process_offline(self.ir, x, backend=backend)
+
+
+# -- pure functional API ---------------------------------------------------------
+
+def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
+               dtype=jnp.float32, backend: Optional[str] = None) -> MonoIR:
+    """Build the device-resident IR pytree for a scheme. ``ir``: (..., L)."""
+    ir = np.asarray(ir)
+    head = td.make_taps(ir, 0, scheme.head_taps) if scheme.head_taps else \
+        np.zeros(ir.shape[:-1] + (0,), ir.dtype)
+    spectra = []
+    for plan in scheme.sections():
+        spectra.append(part.impulse_spectra(
+            ir, plan.fft_size, plan.offset, plan.length, dtype, backend))
+    return MonoIR(jnp.asarray(head, dtype), tuple(spectra))
+
+
+def init_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),
+               dtype=jnp.float32) -> MonoState:
+    head_len = max(int(ir.head_taps.shape[-1]) - 1, 1)
+    sections = []
+    for plan, spec in zip(scheme.sections(), ir.spectra):
+        h = plan.fft_size >> 1
+        p = spec.shape[-2]
+        sections.append(part.PartitionedState(
+            prev=jnp.zeros(batch_shape + (h,), dtype),
+            ring=Split.zeros(batch_shape + (p, h), dtype),
+            pos=jnp.zeros((), jnp.int32),
+        ))
+    return MonoState(jnp.zeros(batch_shape + (head_len,), dtype), tuple(sections))
+
+
+def process(ir: MonoIR, state: MonoState, x: jax.Array,
+            backend: Optional[str] = None) -> Tuple[MonoState, jax.Array]:
+    """Stream a block whose length is a multiple of the largest hop. Pure/jittable."""
+    out = jnp.zeros_like(x)
+    head_state = state.head
+    if ir.head_taps.shape[-1]:
+        head_state, y = td.TimeDomainConvolve.process(ir.head_taps, state.head, x)
+        out = out + y
+    new_sections = []
+    for spec, sec_state in zip(ir.spectra, state.sections):
+        sec_state, y = part.PartitionedConvolve.process(spec, sec_state, x,
+                                                        backend=backend)
+        new_sections.append(sec_state)
+        out = out + y
+    return MonoState(head_state, tuple(new_sections)), out
+
+
+def process_offline(ir: MonoIR, x: jax.Array,
+                    backend: Optional[str] = None) -> jax.Array:
+    """Whole-signal convolution through the scheme with no sequential scan."""
+    out = jnp.zeros_like(x)
+    if ir.head_taps.shape[-1]:
+        out = out + td.fir_offline(x, ir.head_taps)
+    for spec in ir.spectra:
+        out = out + part.PartitionedConvolve.process_offline(spec, x, backend=backend)
+    return out

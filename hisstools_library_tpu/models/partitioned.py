@@ -1,0 +1,236 @@
+"""Uniform partitioned overlap-save FFT convolution — the framework's hot engine.
+
+TPU-native counterpart of ``HISSTools::PartitionedConvolve``
+(/root/reference/HIRT_Multichannel_Convolution/PartitionedConvolve.cpp). The
+reference is a stateful sample-streaming engine: a rolling ring of input spectra
+(the frequency-domain delay line), per-hop rFFT -> complex MAC across partitions ->
+riFFT overlap-save, with deferred-partition scheduling to amortise MAC cost across
+the hop (:316-348). On TPU the amortised scheduling is irrelevant (all partitions
+are processed in one fused pass), and the engine becomes:
+
+- **streaming**: a pure ``step`` carried through ``lax.scan`` whose state pytree is
+  exactly the reference's streaming state made explicit (previous input block +
+  spectra ring + ring position — cf. PartitionedConvolve.h:62-81). Checkpointing
+  falls out for free (the state is a serialisable pytree).
+- **offline**: all hop spectra computed in one batched rFFT, the partition MAC as a
+  lag-accumulation over HBM-resident spectra (a P-tap frequency-domain FIR along the
+  hop axis), and one batched riFFT — no sequential dependency at all.
+
+Semantics (derived from the reference's buffer mechanics, SURVEY.md §3.1): a section
+with FFT size N (hop H = N/2) holding IR chunk taps ``ir[o + p*H + j]`` emits tap
+``(o + p*H + j)`` at delay ``(H - o) + (o + p*H + j)`` — i.e. the engine output is
+``conv(x, ir[o:o+len])`` delayed by ``H - o`` samples. With the scheme offsets of
+MonoConvolve (each section's offset equals its own hop) the composite is exact.
+
+Scaling: output = irfft-accumulated spectra x ``1/(4N)`` — the reference's
+``scaleStore`` factor (PartitionedConvolve.cpp:232-241) compensating the x2 forward
+scale on both operands.
+
+MIN/MAX FFT sizes 2^5..2^20 as in the reference (PartitionedConvolve.h:18-19).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.errors import ConvolveError, ConvolveException
+from ..core.types import Split, packed_mul
+from ..fft import api as fft_api
+
+MIN_FFT_SIZE_LOG2 = 5
+MAX_FFT_SIZE_LOG2 = 20
+
+
+def validate_fft_size(fft_size: int) -> int:
+    log2n = fft_size.bit_length() - 1
+    if (1 << log2n) != fft_size:
+        raise ConvolveException(ConvolveError.FFT_SIZE_NON_POWER_OF_TWO, str(fft_size))
+    if log2n < MIN_FFT_SIZE_LOG2 or log2n > MAX_FFT_SIZE_LOG2:
+        raise ConvolveException(ConvolveError.FFT_SIZE_OUT_OF_RANGE, str(fft_size))
+    return log2n
+
+
+def impulse_spectra(ir, fft_size: int, offset: int = 0, length: int = 0,
+                    dtype=jnp.float32, backend: Optional[str] = None) -> Split:
+    """Chop ``ir[offset : offset + length]`` into H-sample chunks, zero-pad each to
+    the FFT size and rFFT into the partition spectra (reference
+    PartitionedConvolve::set, :173-225).
+
+    ``ir``: (..., L) array. Returns packed Split of shape (..., P, N/2).
+    """
+    validate_fft_size(fft_size)
+    h = fft_size >> 1
+    ir = np.asarray(ir)
+    n = ir.shape[-1]
+    take = 0 if n <= offset else n - offset
+    if length:
+        take = min(take, length)
+    chunk = ir[..., offset:offset + take]
+    p = max(1, -(-take // h))  # at least one (zero) partition
+    padded = np.zeros(ir.shape[:-1] + (p * h,), np.float64)
+    padded[..., :take] = chunk
+    frames = padded.reshape(ir.shape[:-1] + (p, h))
+    frames = np.concatenate([frames, np.zeros_like(frames)], axis=-1)  # zero-pad to N
+    re, im = fft_api.rfft(jnp.asarray(frames, dtype), backend=backend)
+    return Split(re, im)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PartitionedState:
+    """Streaming state (the reference's internal buffers made explicit:
+    PartitionedConvolve.h:62-81)."""
+
+    prev: jax.Array   # (..., H)      previous input block
+    ring: Split       # (..., P, N/2) frequency-domain delay line of input spectra
+    pos: jax.Array    # ()            int32 ring write position (t mod P)
+
+    def tree_flatten(self):
+        return (self.prev, self.ring, self.pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class PartitionedConvolve:
+    """Configuration holder + pure processing functions for one uniform section."""
+
+    def __init__(self, fft_size: int, max_length: int = 0, offset: int = 0,
+                 length: int = 0):
+        validate_fft_size(fft_size)
+        self.fft_size = fft_size
+        self.hop = fft_size >> 1
+        self.offset = offset
+        self.length = length
+        self.max_length = max_length
+        self.spectra: Optional[Split] = None
+
+    def set(self, ir, dtype=jnp.float32, backend: Optional[str] = None) -> ConvolveError:
+        err = ConvolveError.NONE
+        ir = np.asarray(ir)
+        if self.max_length:
+            avail = max(0, ir.shape[-1] - self.offset)
+            want = min(avail, self.length) if self.length else avail
+            if want > self.max_length:
+                err = ConvolveError.MEM_ALLOC_TOO_SMALL
+        length = self.length if self.length else (self.max_length or 0)
+        self.spectra = impulse_spectra(ir, self.fft_size, self.offset, length,
+                                       dtype, backend)
+        return err
+
+    @property
+    def num_partitions(self) -> int:
+        return 0 if self.spectra is None else self.spectra.shape[-2]
+
+    def init_state(self, batch_shape=(), dtype=jnp.float32) -> PartitionedState:
+        p = max(self.num_partitions, 1)
+        bins = self.hop
+        return PartitionedState(
+            prev=jnp.zeros(batch_shape + (self.hop,), dtype),
+            ring=Split.zeros(batch_shape + (p, bins), dtype),
+            pos=jnp.zeros((), jnp.int32),
+        )
+
+    # -- pure functions -------------------------------------------------------
+
+    @staticmethod
+    def step(spectra: Split, state: PartitionedState, block: jax.Array,
+             backend: Optional[str] = None) -> Tuple[PartitionedState, jax.Array]:
+        """One hop: emit from the current ring (spectra X_{t-1}..X_{t-P}), then
+        insert X_t. ``block`` is exactly H samples."""
+        h = block.shape[-1]
+        n = 2 * h
+        p = spectra.shape[-2]
+
+        # MAC across partitions: A = sum_p ring[slot(t-1-p)] * Hhat[p]. The ring
+        # write position is pos = t mod P, so before insertion slot s holds
+        # X_{t-1-((pos-1-s) mod P)}; gather Hhat accordingly and contract.
+        lags = (state.pos - 1 - jnp.arange(p, dtype=jnp.int32)) % p  # slot -> p index
+        h_re = jnp.take(spectra.re, lags, axis=-2)
+        h_im = jnp.take(spectra.im, lags, axis=-2)
+        prod = packed_mul(state.ring, Split(h_re, h_im))
+        acc = Split(jnp.sum(prod.re, axis=-2), jnp.sum(prod.im, axis=-2))
+        y = fft_api.rifft(acc.re, acc.im, backend=backend) * (1.0 / (4.0 * n))
+        out = y[..., h:]
+
+        # Insert X_t at slot pos = t mod P.
+        xre, xim = fft_api.rfft(jnp.concatenate([state.prev, block], axis=-1),
+                                backend=backend)
+        re = jax.lax.dynamic_update_index_in_dim(state.ring.re, xre, state.pos, -2)
+        im = jax.lax.dynamic_update_index_in_dim(state.ring.im, xim, state.pos, -2)
+        new_state = PartitionedState(
+            prev=block,
+            ring=Split(re, im),
+            pos=(state.pos + 1) % p,
+        )
+        return new_state, out
+
+    @staticmethod
+    def process(spectra: Split, state: PartitionedState, x: jax.Array,
+                backend: Optional[str] = None) -> Tuple[PartitionedState, jax.Array]:
+        """Stream a signal whose length is a multiple of the hop via lax.scan."""
+        h = state.prev.shape[-1]
+        L = x.shape[-1]
+        if L % h:
+            raise ValueError(f"signal length {L} not a multiple of hop {h}")
+        t = L // h
+        blocks = jnp.moveaxis(x.reshape(*x.shape[:-1], t, h), -2, 0)
+
+        def body(st, blk):
+            return PartitionedConvolve.step(spectra, st, blk, backend=backend)
+
+        state, outs = jax.lax.scan(body, state, blocks)
+        y = jnp.moveaxis(outs, 0, -2).reshape(*x.shape[:-1], L)
+        return state, y
+
+    @staticmethod
+    def process_offline(spectra: Split, x: jax.Array,
+                        backend: Optional[str] = None) -> jax.Array:
+        """Whole-signal path with no sequential dependency: batched rFFT over all
+        hops, P-lag MAC along the hop axis, batched riFFT. Returns the same output
+        as streaming from a fresh state (length = len(x), includes the engine's
+        one-hop delay)."""
+        h = spectra.shape[-1]
+        n = 2 * h
+        p = spectra.shape[-2]
+        L = x.shape[-1]
+        if L % h:
+            pad = h - (L % h)
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        t = x.shape[-1] // h
+        blocks = x.reshape(*x.shape[:-1], t, h)
+        prev = jnp.concatenate(
+            [jnp.zeros_like(blocks[..., :1, :]), blocks[..., :-1, :]], axis=-2)
+        frames = jnp.concatenate([prev, blocks], axis=-1)  # (..., T, N)
+        X = Split(*fft_api.rfft(frames, backend=backend))  # (..., T, N/2)
+
+        # Y_t = sum_p X_{t-1-p} Hhat_p : lag-accumulate along the hop axis.
+        acc_re = jnp.zeros_like(X.re)
+        acc_im = jnp.zeros_like(X.im)
+        zeros_front = jnp.zeros_like(X.re[..., :1, :])
+        for lag in range(p):
+            shift = lag + 1
+            if shift > t:
+                break  # older lags contribute nothing within this signal
+            zshape = X.re.shape[:-2] + (shift,) + X.re.shape[-1:]
+            pad_re = jnp.concatenate(
+                [jnp.broadcast_to(zeros_front, zshape), X.re[..., : t - shift, :]],
+                axis=-2)
+            pad_im = jnp.concatenate(
+                [jnp.broadcast_to(zeros_front, zshape), X.im[..., : t - shift, :]],
+                axis=-2)
+            hp = Split(spectra.re[..., lag:lag + 1, :], spectra.im[..., lag:lag + 1, :])
+            prod = packed_mul(Split(pad_re, pad_im), hp)
+            acc_re = acc_re + prod.re
+            acc_im = acc_im + prod.im
+
+        y = fft_api.rifft(acc_re, acc_im, backend=backend) * (1.0 / (4.0 * n))
+        out = y[..., h:]  # (..., T, H)
+        return out.reshape(*out.shape[:-2], t * h)[..., :L]

@@ -1,0 +1,218 @@
+"""Convolution engine parity tests vs direct numpy convolution.
+
+Covers BASELINE.json configs 3 (time-domain FIR parity) and 4 (uniform +
+non-uniform partitioned convolution parity): the streaming scan engine, the
+offline batched engine, and the zero/short/medium latency schemes must all equal
+``np.convolve`` to float64 precision on CPU (SNR targets far beyond the 80 dB
+production bound).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hisstools_library_tpu.core.types import Split
+from hisstools_library_tpu.models import mono, partitioned, time_domain as td
+from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+
+
+def snr_db(ref, test):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(test, np.float64) - ref
+    d = np.sum(err * err)
+    return np.inf if d == 0 else 10 * np.log10(np.sum(ref * ref) / d)
+
+
+# -- time domain -----------------------------------------------------------------
+
+def test_td_offline_matches_convolve(rng):
+    x = rng.standard_normal(1000)
+    h = rng.standard_normal(64)
+    y = td.fir_offline(jnp.asarray(x), jnp.asarray(h))
+    ref = np.convolve(x, h)[:1000]
+    assert snr_db(ref, y) > 200
+
+
+def test_td_streaming_matches_offline(rng):
+    x = rng.standard_normal(1024)
+    h = rng.standard_normal(33)
+    taps = jnp.asarray(h)
+    conv = td.TimeDomainConvolve()
+    conv.taps = taps
+    state = conv.init_state(dtype=jnp.float64)
+    outs = []
+    for i in range(0, 1024, 128):
+        state, y = td.TimeDomainConvolve.process(taps, state, jnp.asarray(x[i:i + 128]))
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs)
+    ref = np.convolve(x, h)[:1024]
+    assert snr_db(ref, y) > 200
+
+
+def test_td_batched_channels(rng):
+    x = rng.standard_normal((4, 500))
+    h = rng.standard_normal((4, 16))
+    y = np.asarray(td.fir_offline(jnp.asarray(x), jnp.asarray(h)))
+    for c in range(4):
+        assert snr_db(np.convolve(x[c], h[c])[:500], y[c]) > 200
+
+
+def test_make_taps_offset_window(rng):
+    ir = rng.standard_normal(300)
+    taps = td.make_taps(ir, offset=100, length=50)
+    assert np.array_equal(taps, ir[100:150])
+
+
+# -- uniform partitioned -----------------------------------------------------------
+
+@pytest.mark.parametrize("fft_size,ir_len", [(64, 96), (128, 64), (256, 1000)])
+def test_partitioned_streaming_parity(rng, fft_size, ir_len):
+    h = fft_size >> 1
+    L = h * 12
+    x = rng.standard_normal(L)
+    ir = rng.standard_normal(ir_len + h)
+    # Engine with offset == hop: output equals conv with the IR window in place.
+    spec = partitioned.impulse_spectra(ir, fft_size, offset=h, length=ir_len,
+                                       dtype=jnp.float64)
+    pc = partitioned.PartitionedConvolve(fft_size, offset=h, length=ir_len)
+    pc.spectra = spec
+    state = pc.init_state(dtype=jnp.float64)
+    state, y = partitioned.PartitionedConvolve.process(spec, state, jnp.asarray(x))
+    masked = np.zeros_like(ir)
+    masked[h:h + ir_len] = ir[h:h + ir_len]
+    ref = np.convolve(x, masked)[:L]
+    assert snr_db(ref, y) > 180
+
+
+def test_partitioned_offline_equals_streaming(rng):
+    fft_size = 128
+    h = 64
+    L = h * 9
+    x = rng.standard_normal(L)
+    ir = rng.standard_normal(500)
+    spec = partitioned.impulse_spectra(ir, fft_size, offset=h, dtype=jnp.float64)
+    pc = partitioned.PartitionedConvolve(fft_size, offset=h)
+    pc.spectra = spec
+    state = pc.init_state(dtype=jnp.float64)
+    _, y_stream = partitioned.PartitionedConvolve.process(spec, state, jnp.asarray(x))
+    y_off = partitioned.PartitionedConvolve.process_offline(spec, jnp.asarray(x))
+    assert snr_db(np.asarray(y_stream), y_off) > 250
+
+
+def test_partitioned_state_is_checkpointable(rng):
+    # Streaming state is a pytree: split the stream, round-trip the state through
+    # flatten/unflatten (serialisation), and get identical results.
+    fft_size = 64
+    h = 32
+    x = rng.standard_normal(h * 8)
+    ir = rng.standard_normal(200)
+    spec = partitioned.impulse_spectra(ir, fft_size, offset=h, dtype=jnp.float64)
+    pc = partitioned.PartitionedConvolve(fft_size, offset=h)
+    pc.spectra = spec
+    state = pc.init_state(dtype=jnp.float64)
+    _, y_all = partitioned.PartitionedConvolve.process(spec, state, jnp.asarray(x))
+
+    state = pc.init_state(dtype=jnp.float64)
+    state, y1 = partitioned.PartitionedConvolve.process(spec, state, jnp.asarray(x[:h * 3]))
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    state2 = jax.tree_util.tree_unflatten(treedef, [np.asarray(l) for l in leaves])
+    _, y2 = partitioned.PartitionedConvolve.process(spec, state2, jnp.asarray(x[h * 3:]))
+    assert snr_db(np.asarray(y_all), np.concatenate([np.asarray(y1), np.asarray(y2)])) > 250
+
+
+# -- non-uniform schemes -----------------------------------------------------------
+
+@pytest.mark.parametrize("sizes", [(32, 128), (32, 64, 256), (32, 64, 128, 512)])
+def test_zero_latency_scheme_exact(rng, sizes):
+    scheme = PartitionScheme(sizes, zero_latency=True)
+    big_hop = sizes[-1] >> 1
+    L = big_hop * 6
+    ir_len = sizes[-1] + 333
+    x = rng.standard_normal(L)
+    ir = rng.standard_normal(ir_len)
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float64)
+    state = mono.init_state(scheme, mir, dtype=jnp.float64)
+    _, y = mono.process(mir, state, jnp.asarray(x))
+    ref = np.convolve(x, ir)[:L]
+    assert snr_db(ref, y) > 180
+
+
+def test_zero_latency_offline_matches(rng):
+    scheme = PartitionScheme((32, 64, 128, 512), zero_latency=True)
+    L = 256 * 8
+    x = rng.standard_normal(L)
+    ir = rng.standard_normal(900)
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float64)
+    y = mono.process_offline(mir, jnp.asarray(x))
+    ref = np.convolve(x, ir)[:L]
+    assert snr_db(ref, y) > 180
+
+
+@pytest.mark.parametrize("sizes", [(32, 128), (32, 64, 256)])
+def test_short_latency_scheme_is_delayed_conv(rng, sizes):
+    scheme = PartitionScheme(sizes, zero_latency=False)
+    lat = scheme.latency
+    assert lat == sizes[0] >> 1
+    big_hop = sizes[-1] >> 1
+    L = big_hop * 6
+    x = rng.standard_normal(L)
+    ir = rng.standard_normal(sizes[-1])
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float64)
+    state = mono.init_state(scheme, mir, dtype=jnp.float64)
+    _, y = mono.process(mir, state, jnp.asarray(x))
+    full = np.convolve(x, ir)
+    ref = np.concatenate([np.zeros(lat), full])[:L]
+    assert snr_db(ref, y) > 180
+
+
+def test_reference_presets():
+    # MonoConvolve.cpp:26-31 presets
+    z = PartitionScheme.from_latency(LatencyMode.Zero)
+    assert z.sizes == (256, 1024, 4096, 16384) and z.zero_latency and z.latency == 0
+    s = PartitionScheme.from_latency(LatencyMode.Short)
+    assert s.sizes == (256, 1024, 4096, 16384) and s.latency == 128
+    m = PartitionScheme.from_latency(LatencyMode.Medium)
+    assert m.sizes == (1024, 4096, 16384) and m.latency == 512
+
+
+def test_scheme_section_windows():
+    # Section coverage: TD [0,128), A=256 covers [128,512), B covers [512,2048),
+    # C covers [2048,8192), D covers the rest (SURVEY.md §3.2 derivation).
+    scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+    plans = scheme.sections()
+    assert [(p.fft_size, p.offset, p.length) for p in plans] == [
+        (256, 128, 384), (1024, 512, 1536), (4096, 2048, 6144), (16384, 8192, 0)]
+
+
+def test_scheme_validation():
+    from hisstools_library_tpu.core.errors import ConvolveException
+    with pytest.raises(ConvolveException):
+        PartitionScheme((100, 200), True)  # non power of two
+    with pytest.raises(ConvolveException):
+        PartitionScheme((16, 64), True)  # below 2^5
+    with pytest.raises(ConvolveException):
+        PartitionScheme((64, 32), True)  # not increasing
+
+
+def test_mono_batched_channels(rng):
+    scheme = PartitionScheme((32, 128), zero_latency=True)
+    L = 64 * 4
+    x = rng.standard_normal((3, L))
+    ir = rng.standard_normal((3, 200))
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float64)
+    state = mono.init_state(scheme, mir, batch_shape=(3,), dtype=jnp.float64)
+    _, y = mono.process(mir, state, jnp.asarray(x))
+    for c in range(3):
+        assert snr_db(np.convolve(x[c], ir[c])[:L], np.asarray(y)[c]) > 180
+
+
+def test_mono_convolve_class_api(rng):
+    mc = mono.MonoConvolve(max_length=4096, scheme=PartitionScheme((32, 128), True))
+    ir = rng.standard_normal(300)
+    assert mc.set(ir, dtype=jnp.float64).name == "NONE"
+    st = mc.init_state(dtype=jnp.float64)
+    x = rng.standard_normal(mc.block_size * 4)
+    st, y = mc.process(st, jnp.asarray(x))
+    assert snr_db(np.convolve(x, ir)[:len(x)], y) > 180
