@@ -1,0 +1,182 @@
+"""Multichannel N-in / M-out convolution routing.
+
+TPU-native counterpart of ``HISSTools::Convolver`` + ``NToMonoConvolve``
+(/root/reference/HIRT_Multichannel_Convolution/Convolver.cpp, NToMonoConvolve.cpp).
+The reference loops over output channels, each summing N per-input MonoConvolves
+into one output with temp-buffer accumulation (NToMonoConvolve.cpp:35-43). Here the
+(out x in) matrix of convolvers is a single batched engine: IR spectra carry leading
+dims ``(M, N)``, the input broadcasts across the output axis, and the N-to-mono
+reduction is one ``sum`` over the input axis — which under `shard_map` becomes a
+``psum`` over the channel mesh axis (see parallel/).
+
+Two routing modes, as in the reference (Convolver.cpp:5-41):
+
+- **N2M**: every input convolves into every output through IR[out, in].
+- **Parallel**: N independent channels, IR[c] applied to input c.
+
+The reference's double-precision overload converts to float at the edges
+(Convolver.cpp:156-183); here dtype is a parameter throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.errors import ConvolveError, ConvolveException
+from . import mono
+from .mono import LatencyMode, PartitionScheme
+
+
+class Convolver:
+    """N x M (or parallel N x N) convolution matrix.
+
+    IRs are set per (in, out) pair host-side; processing is pure/jittable over the
+    prepared pytree. ``process(state, ins)``: ins (N, L) -> outs (M, L).
+    """
+
+    def __init__(self, num_ins: int, num_outs: Optional[int] = None,
+                 latency: LatencyMode = LatencyMode.Zero,
+                 scheme: Optional[PartitionScheme] = None,
+                 max_length: int = 16384):
+        parallel = num_outs is None
+        num_ins = max(1, num_ins)
+        self.parallel = parallel
+        self.num_ins = num_ins
+        self.num_outs = num_ins if parallel else max(1, num_outs)
+        self.scheme = scheme if scheme is not None else PartitionScheme.from_latency(latency)
+        self.max_length = max_length
+        # Host-side IR bank: (M, N, L) zero-padded numpy; parallel mode stores (C, L).
+        self._bank: Optional[np.ndarray] = None
+        self._bank_len = 0
+        self.ir: Optional[mono.MonoIR] = None
+
+    # -- IR management (host-side) ------------------------------------------------
+
+    def _ensure_bank(self, length: int):
+        shape = ((self.num_ins, length) if self.parallel
+                 else (self.num_outs, self.num_ins, length))
+        if self._bank is None or length > self._bank_len:
+            bank = np.zeros(shape, np.float64)
+            if self._bank is not None and self._bank_len:
+                bank[..., :self._bank_len] = self._bank
+            self._bank = bank
+            self._bank_len = length
+
+    def set(self, in_chan: int, out_chan: int, ir, resize: bool = True) -> ConvolveError:
+        """Load one IR (reference Convolver::set, Convolver.cpp:114-134). For
+        parallel mode pass in_chan == out_chan. Call prepare() afterwards."""
+        if self.parallel:
+            if in_chan != out_chan:
+                return ConvolveError.IN_CHAN_OUT_OF_RANGE
+        if out_chan >= self.num_outs:
+            return ConvolveError.OUT_CHAN_OUT_OF_RANGE
+        if in_chan >= self.num_ins:
+            return ConvolveError.IN_CHAN_OUT_OF_RANGE
+        ir = np.asarray(ir, np.float64)
+        n = ir.shape[-1]
+        if n > self.max_length:
+            if not resize:
+                return ConvolveError.MEM_ALLOC_TOO_SMALL
+            self.max_length = n
+        self._ensure_bank(max(self._bank_len, n, 1))
+        if self.parallel:
+            self._bank[in_chan, :] = 0.0
+            self._bank[in_chan, :n] = ir
+        else:
+            self._bank[out_chan, in_chan, :] = 0.0
+            self._bank[out_chan, in_chan, :n] = ir
+        self.ir = None  # invalidate prepared spectra
+        return ConvolveError.NONE
+
+    def set_all(self, irs, resize: bool = True) -> ConvolveError:
+        """Bulk-load the whole IR bank: (C, L) for parallel or (M, N, L) for N2M."""
+        irs = np.asarray(irs, np.float64)
+        want = (self.num_ins,) if self.parallel else (self.num_outs, self.num_ins)
+        if irs.shape[:-1] != want:
+            raise ConvolveException(ConvolveError.IN_CHAN_OUT_OF_RANGE,
+                                    f"bank shape {irs.shape} != {want + ('L',)}")
+        if irs.shape[-1] > self.max_length:
+            if not resize:
+                return ConvolveError.MEM_ALLOC_TOO_SMALL
+            self.max_length = irs.shape[-1]
+        self._bank = irs.copy()
+        self._bank_len = irs.shape[-1]
+        self.ir = None
+        return ConvolveError.NONE
+
+    def clear(self, in_chan: Optional[int] = None, out_chan: Optional[int] = None,
+              resize: bool = True) -> ConvolveError:
+        """Zero one IR or the whole bank (reference Convolver::clear, :51-75)."""
+        if self._bank is None:
+            return ConvolveError.NONE
+        if in_chan is None:
+            self._bank[...] = 0.0
+        elif self.parallel:
+            self._bank[in_chan, :] = 0.0
+        else:
+            self._bank[out_chan, in_chan, :] = 0.0
+        self.ir = None
+        return ConvolveError.NONE
+
+    def prepare(self, dtype=jnp.float32, backend: Optional[str] = None) -> mono.MonoIR:
+        """Build the device-resident spectra pytree from the host bank."""
+        if self._bank is None:
+            self._ensure_bank(1)
+        self.ir = mono.prepare_ir(self.scheme, self._bank, dtype=dtype, backend=backend)
+        return self.ir
+
+    # -- processing ----------------------------------------------------------------
+
+    @property
+    def block_size(self) -> int:
+        return self.scheme.sizes[-1] >> 1
+
+    def init_state(self, dtype=jnp.float32) -> mono.MonoState:
+        if self.ir is None:
+            self.prepare(dtype)
+        batch = (self.num_ins,) if self.parallel else (self.num_outs, self.num_ins)
+        return mono.init_state(self.scheme, self.ir, batch, dtype)
+
+    def process(self, state: mono.MonoState, ins: jax.Array,
+                backend: Optional[str] = None) -> Tuple[mono.MonoState, jax.Array]:
+        """ins: (N, L) -> outs (M, L) [parallel: (C, L) -> (C, L)]; streaming."""
+        return process(self.ir, state, ins, self.parallel, backend=backend)
+
+    def process_offline(self, ins: jax.Array,
+                        backend: Optional[str] = None) -> jax.Array:
+        return process_offline(self.ir, ins, self.parallel, backend=backend)
+
+    def reset(self, dtype=jnp.float32) -> mono.MonoState:
+        """Fresh streaming state (reference Convolver::reset, :80-104)."""
+        return self.init_state(dtype)
+
+
+# -- pure functions ---------------------------------------------------------------
+
+def process(ir: mono.MonoIR, state: mono.MonoState, ins: jax.Array,
+            parallel: bool, backend: Optional[str] = None
+            ) -> Tuple[mono.MonoState, jax.Array]:
+    """Streaming multichannel step. N2M: ir leading dims (M, N), ins (N, L) ->
+    (M, L) via sum over the input axis (reference NToMonoConvolve accumulate loop).
+    Parallel: ir leading dim (C,), ins (C, L) -> (C, L)."""
+    if parallel:
+        return mono.process(ir, state, ins, backend=backend)
+    m = ir.head_taps.shape[0]
+    ins_b = jnp.broadcast_to(ins[None], (m,) + ins.shape)
+    new_state, y = mono.process(ir, state, ins_b, backend=backend)
+    return new_state, jnp.sum(y, axis=-2)
+
+
+def process_offline(ir: mono.MonoIR, ins: jax.Array, parallel: bool,
+                    backend: Optional[str] = None) -> jax.Array:
+    if parallel:
+        return mono.process_offline(ir, ins, backend=backend)
+    m = ir.head_taps.shape[0]
+    ins_b = jnp.broadcast_to(ins[None], (m,) + ins.shape)
+    y = mono.process_offline(ir, ins_b, backend=backend)
+    return jnp.sum(y, axis=-2)
