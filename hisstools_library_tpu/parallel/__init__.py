@@ -1,0 +1,10 @@
+from .mesh import (  # noqa: F401
+    BLOCK_AXIS,
+    CHANNEL_AXIS,
+    channel_sharding,
+    channel_time_sharding,
+    make_mesh,
+    replicated,
+)
+from .halo import left_halo, shift_from_left  # noqa: F401
+from .sharded import n_to_one_offline, scheme_offline_sharded  # noqa: F401

@@ -1,0 +1,128 @@
+"""Mesh-sharded multichannel partitioned convolution.
+
+The scaling story (SURVEY.md §5): channels shard like data parallelism; the time
+axis shards into contiguous hop ranges (sequence parallelism) with halo exchange of
+raw input samples over ICI. Each partitioned section with FFT size N (hop H = N/2,
+P partitions) needs a left halo of ``(P + 1) * H`` input samples — the overlap half
+of the first local frame plus the frequency-domain delay-line history — after which
+every device computes its output shard entirely locally: batched rFFT over local
+hops, lag-MAC against the (replicated) partition spectra, batched riFFT.
+
+The N-to-mono channel reduction (NToMonoConvolve.cpp:35-43) becomes a ``psum`` over
+the channel axis (see :func:`n_to_one_offline`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.types import Split, packed_mul
+from ..fft import api as fft_api
+from ..models import mono as mono_mod
+from ..models import time_domain as td
+from .halo import left_halo
+from .mesh import BLOCK_AXIS, CHANNEL_AXIS
+
+
+def _section_local(spectra: Split, x_local: jax.Array, fft_size: int,
+                   backend: Optional[str] = None) -> jax.Array:
+    """Local shard of one uniform section's output. ``x_local``: (..., L_loc) with
+    L_loc a multiple of the hop. Runs inside shard_map over BLOCK_AXIS."""
+    h = fft_size >> 1
+    p = spectra.shape[-2]
+    lead = x_local.shape[:-1]
+    L = x_local.shape[-1]
+    t_loc = L // h
+
+    # Halo: (P + 1) hops of raw input history from the left neighbours.
+    halo = (p + 1) * h
+    x_ext = left_halo(x_local, halo, axis=x_local.ndim - 1, axis_name=BLOCK_AXIS)
+
+    # Frames for local hops tau in [-P, t_loc): frame tau = x[(tau-1)h : (tau+1)h].
+    t_ext = t_loc + p
+    blocks = x_ext.reshape(*lead, t_ext + 1, h)
+    frames = jnp.concatenate([blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
+    X = Split(*fft_api.rfft(frames, backend=backend))  # (..., t_ext, bins)
+
+    # Y_t = sum_p X_{t-1-p} Hhat_p ; X_{local tau} sits at ext index tau + P.
+    acc_re = jnp.zeros(lead + (t_loc, h), x_local.dtype)
+    acc_im = jnp.zeros(lead + (t_loc, h), x_local.dtype)
+    for lag in range(p):
+        start = p - 1 - lag
+        xs = Split(X.re[..., start:start + t_loc, :], X.im[..., start:start + t_loc, :])
+        hp = Split(spectra.re[..., lag:lag + 1, :], spectra.im[..., lag:lag + 1, :])
+        prod = packed_mul(xs, hp)
+        acc_re = acc_re + prod.re
+        acc_im = acc_im + prod.im
+
+    y = fft_api.rifft(acc_re, acc_im, backend=backend) * (1.0 / (4.0 * fft_size))
+    return y[..., h:].reshape(*lead, L)
+
+
+def _head_local(taps: jax.Array, x_local: jax.Array) -> jax.Array:
+    """Local shard of the time-domain head output (halo = taps - 1 samples)."""
+    t = taps.shape[-1]
+    if t == 0:
+        return jnp.zeros_like(x_local)
+    x_ext = left_halo(x_local, t - 1, axis=x_local.ndim - 1, axis_name=BLOCK_AXIS)
+    return td.fir_offline(x_ext, taps)[..., t - 1:]
+
+
+def _scheme_local(ir: mono_mod.MonoIR, scheme_sizes: Tuple[int, ...],
+                  x_local: jax.Array, backend: Optional[str] = None) -> jax.Array:
+    out = jnp.zeros_like(x_local)
+    if ir.head_taps.shape[-1]:
+        out = out + _head_local(ir.head_taps, x_local)
+    for spec, fft_size in zip(ir.spectra, scheme_sizes):
+        out = out + _section_local(spec, x_local, fft_size, backend=backend)
+    return out
+
+
+def scheme_offline_sharded(mesh: Mesh, scheme: mono_mod.PartitionScheme,
+                           ir: mono_mod.MonoIR, x: jax.Array,
+                           backend: Optional[str] = None) -> jax.Array:
+    """Multichannel scheme convolution sharded (channel x block) over the mesh.
+
+    ``x``: (C, L) with C divisible by the channel-axis size and L divisible by
+    ``block_size * block-axis size``. IR spectra are replicated (they are shared
+    state, like weights under pure data parallelism). Returns y with the same
+    sharding as x.
+    """
+    sizes = tuple(plan.fft_size for plan in scheme.sections())
+    fn = partial(_scheme_local, scheme_sizes=sizes, backend=backend)
+
+    def local(ir_local, x_local):
+        return fn(ir_local, x_local=x_local)
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(CHANNEL_AXIS), P(CHANNEL_AXIS, BLOCK_AXIS)),
+        out_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+    )
+    return shard_fn(ir, x)
+
+
+def n_to_one_offline(mesh: Mesh, scheme: mono_mod.PartitionScheme,
+                     ir: mono_mod.MonoIR, x: jax.Array,
+                     backend: Optional[str] = None) -> jax.Array:
+    """N-input -> mono pipeline: each input channel convolves with its IR, the
+    channel sum reduces with ``psum`` over the channel axis (the sharded analogue
+    of NToMonoConvolve's accumulate loop). x: (N, L) -> (L,)."""
+    sizes = tuple(plan.fft_size for plan in scheme.sections())
+
+    def local(ir_local, x_local):
+        y = _scheme_local(ir_local, sizes, x_local, backend=backend)
+        return jax.lax.psum(jnp.sum(y, axis=0), CHANNEL_AXIS)
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(CHANNEL_AXIS), P(CHANNEL_AXIS, BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+    )
+    return shard_fn(ir, x)

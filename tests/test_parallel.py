@@ -1,0 +1,126 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Validates that the (channel x block) sharded convolution equals the single-device
+engine bit-for-bit semantics (same math, different partitioning), that halo
+exchange reconstructs overlap-save boundaries, and that the N-to-mono psum
+reduction matches the accumulate loop.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from hisstools_library_tpu.models import mono
+from hisstools_library_tpu.models.mono import PartitionScheme
+from hisstools_library_tpu.parallel import (
+    BLOCK_AXIS, CHANNEL_AXIS, left_halo, make_mesh, n_to_one_offline,
+    scheme_offline_sharded, shift_from_left,
+)
+
+
+def snr_db(ref, test):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(test, np.float64) - ref
+    d = np.sum(err * err)
+    return np.inf if d == 0 else 10 * np.log10(np.sum(ref * ref) / d)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(channel=4, block=2)
+    assert mesh.shape == {"channel": 4, "block": 2}
+    mesh = make_mesh()
+    assert mesh.shape["channel"] == 8
+
+
+def test_shift_from_left():
+    mesh = make_mesh(channel=1, block=8)
+    x = jnp.arange(8.0).reshape(8, 1)
+
+    def f(x_local):
+        return shift_from_left(x_local, BLOCK_AXIS)
+
+    y = jax.shard_map(f, mesh=mesh, in_specs=P(BLOCK_AXIS, None),
+                      out_specs=P(BLOCK_AXIS, None))(x)
+    assert np.allclose(np.asarray(y).ravel(), [0, 0, 1, 2, 3, 4, 5, 6])
+
+
+@pytest.mark.parametrize("halo", [3, 16, 40])
+def test_left_halo_reconstructs(halo):
+    # Gathering `halo` left samples on each shard must reproduce zero-padded
+    # global indexing.
+    mesh = make_mesh(channel=1, block=4)
+    L = 64
+    x = jnp.arange(float(L))
+
+    def f(x_local):
+        return left_halo(x_local, halo, axis=0, axis_name=BLOCK_AXIS)
+
+    y = jax.shard_map(f, mesh=mesh, in_specs=P(BLOCK_AXIS),
+                      out_specs=P(BLOCK_AXIS))(x)
+    y = np.asarray(y).reshape(4, -1)
+    loc = L // 4
+    xg = np.concatenate([np.zeros(halo + loc), np.arange(float(L))])
+    for d in range(4):
+        start = d * loc
+        ref = xg[start + loc: start + loc + halo + loc]
+        ref = np.concatenate([np.zeros(max(0, halo - start)),
+                              np.arange(float(max(0, start - halo)), start),
+                              np.arange(float(start), start + loc)])[-(halo + loc):]
+        assert np.allclose(y[d], ref), d
+
+
+SCHEME = PartitionScheme((32, 128), zero_latency=True)
+
+
+def test_sharded_scheme_matches_single_device(rng):
+    mesh = make_mesh(channel=4, block=2)
+    C = 8
+    L = 64 * 2 * 4  # multiple of largest hop * block axis
+    x = rng.standard_normal((C, L))
+    irs = rng.standard_normal((C, 300))
+    ir = mono.prepare_ir(SCHEME, irs, dtype=jnp.float64)
+    y = scheme_offline_sharded(mesh, SCHEME, ir, jnp.asarray(x))
+    y = np.asarray(y)
+    for c in range(C):
+        ref = np.convolve(x[c], irs[c])[:L]
+        assert snr_db(ref, y[c]) > 180, c
+
+
+def test_sharded_matches_offline_engine(rng):
+    mesh = make_mesh(channel=2, block=4)
+    C = 4
+    L = 64 * 4 * 2
+    x = rng.standard_normal((C, L))
+    irs = rng.standard_normal((C, 256))
+    ir = mono.prepare_ir(SCHEME, irs, dtype=jnp.float64)
+    y_sharded = np.asarray(scheme_offline_sharded(mesh, SCHEME, ir, jnp.asarray(x)))
+    y_single = np.asarray(mono.process_offline(ir, jnp.asarray(x)))
+    assert snr_db(y_single, y_sharded) > 250
+
+
+def test_n_to_one_psum(rng):
+    mesh = make_mesh(channel=4, block=2)
+    N = 4
+    L = 64 * 2 * 3
+    x = rng.standard_normal((N, L))
+    irs = rng.standard_normal((N, 200))
+    ir = mono.prepare_ir(SCHEME, irs, dtype=jnp.float64)
+    y = np.asarray(n_to_one_offline(mesh, SCHEME, ir, jnp.asarray(x)))
+    ref = sum(np.convolve(x[i], irs[i])[:L] for i in range(N))
+    assert snr_db(ref, y) > 180
+
+
+def test_long_ir_halo_beyond_one_device(rng):
+    # IR long enough that the partition history spans several block shards.
+    scheme = PartitionScheme((32,), zero_latency=True)  # single section, hop 16
+    mesh = make_mesh(channel=1, block=8)
+    L = 16 * 8 * 2  # 2 hops per device
+    x = rng.standard_normal(L)
+    irs = rng.standard_normal(16 * 30)  # ~29 partitions -> halo spans ~15 devices
+    ir = mono.prepare_ir(scheme, irs, dtype=jnp.float64)
+    y = np.asarray(scheme_offline_sharded(mesh, scheme, ir, jnp.asarray(x)[None, :]))
+    ref = np.convolve(x, irs)[:L]
+    assert snr_db(ref, y[0]) > 180
