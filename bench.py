@@ -1,0 +1,103 @@
+"""Benchmark harness: convolved samples/s/chip on the BASELINE.json workload.
+
+Workload: 128 parallel channels, 10 s impulse response at 48 kHz, zero-latency
+non-uniform partition scheme (TD head + 256/1024/4096/16384 — the reference's
+kLatencyZero preset, MonoConvolve.cpp:26-31), float32, offline batched engine on
+one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
+convolved channel-samples per second per chip and vs_baseline is the real-time
+factor against the workload's native rate (128 ch x 48 kHz) — the reference
+publishes no absolute numbers (BASELINE.md), so real-time headroom is the
+meaningful normalised figure.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hisstools_library_tpu.models import mono
+    from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+
+    channels = int(os.environ.get("BENCH_CHANNELS", "128"))
+    fs = int(os.environ.get("BENCH_FS", "48000"))
+    ir_seconds = float(os.environ.get("BENCH_IR_SECONDS", "10"))
+    sig_seconds = float(os.environ.get("BENCH_SIG_SECONDS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+    hop = scheme.sizes[-1] >> 1
+
+    ir_len = int(ir_seconds * fs)
+    sig_len = int(np.ceil(sig_seconds * fs / hop)) * hop
+
+    log(f"bench: {channels}ch, IR {ir_len} samples, signal {sig_len} samples, "
+        f"scheme {scheme.sizes} zero-latency, device {jax.devices()[0]}")
+
+    rng = np.random.default_rng(0)
+    irs = (rng.standard_normal((channels, ir_len)) *
+           np.exp(-np.arange(ir_len) / (0.5 * fs))).astype(np.float32)
+    x = rng.standard_normal((channels, sig_len)).astype(np.float32)
+
+    t0 = time.time()
+    ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32)
+    jax.block_until_ready(ir)
+    log(f"IR spectra prepared in {time.time() - t0:.2f}s "
+        f"(partitions: {[s.shape[-2] for s in ir.spectra]})")
+
+    fwd = jax.jit(mono.process_offline)
+    xd = jnp.asarray(x)
+
+    def sync(out):
+        # block_until_ready is a no-op under the axon remote backend; a tiny
+        # device_get forces the computation to complete.
+        np.asarray(out[..., :1])
+
+    t0 = time.time()
+    y = fwd(ir, xd)
+    sync(y)
+    log(f"compile+first run {time.time() - t0:.2f}s")
+
+    # Steady-state timing.
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        y = fwd(ir, xd)
+        sync(y)
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"times: {[round(t, 4) for t in times]}")
+
+    total_samples = channels * sig_len
+    sps = total_samples / best
+    realtime_factor = sps / (channels * fs)
+
+    # Sanity: SNR vs float64 oracle on a short prefix of one channel.
+    check_len = min(sig_len, 1 << 16)
+    ref = np.convolve(x[0].astype(np.float64), irs[0].astype(np.float64))[:check_len]
+    err = np.asarray(y[0][:check_len], np.float64) - ref
+    snr = 10 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-300))
+    log(f"SNR vs float64 direct conv (ch0, {check_len} samples): {snr:.1f} dB")
+
+    print(json.dumps({
+        "metric": "convolved samples/s/chip (128ch x 10s IR partitioned convolve)",
+        "value": round(sps, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(realtime_factor, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -212,24 +212,29 @@ class PartitionedConvolve:
         X = Split(*fft_api.rfft(frames, backend=backend))  # (..., T, N/2)
 
         # Y_t = sum_p X_{t-1-p} Hhat_p : lag-accumulate along the hop axis.
-        acc_re = jnp.zeros_like(X.re)
-        acc_im = jnp.zeros_like(X.im)
-        zeros_front = jnp.zeros_like(X.re[..., :1, :])
-        for lag in range(p):
-            shift = lag + 1
-            if shift > t:
-                break  # older lags contribute nothing within this signal
-            zshape = X.re.shape[:-2] + (shift,) + X.re.shape[-1:]
-            pad_re = jnp.concatenate(
-                [jnp.broadcast_to(zeros_front, zshape), X.re[..., : t - shift, :]],
-                axis=-2)
-            pad_im = jnp.concatenate(
-                [jnp.broadcast_to(zeros_front, zshape), X.im[..., : t - shift, :]],
-                axis=-2)
-            hp = Split(spectra.re[..., lag:lag + 1, :], spectra.im[..., lag:lag + 1, :])
-            prod = packed_mul(Split(pad_re, pad_im), hp)
-            acc_re = acc_re + prod.re
-            acc_im = acc_im + prod.im
+        # A fori_loop (not an unrolled Python loop) keeps exactly one accumulator
+        # and one sliding window live — the unrolled form OOMs for long IRs.
+        lags = min(p, t)
+        pad_shape = X.re.shape[:-2] + (lags,) + X.re.shape[-1:]
+        xp_re = jnp.concatenate([jnp.zeros(pad_shape, X.re.dtype), X.re], axis=-2)
+        xp_im = jnp.concatenate([jnp.zeros(pad_shape, X.im.dtype), X.im], axis=-2)
+        hop_axis = xp_re.ndim - 2
+
+        def body(lag, acc):
+            acc_re, acc_im = acc
+            start = lags - 1 - lag
+            xs = Split(
+                jax.lax.dynamic_slice_in_dim(xp_re, start, t, axis=hop_axis),
+                jax.lax.dynamic_slice_in_dim(xp_im, start, t, axis=hop_axis))
+            hp = Split(
+                jax.lax.dynamic_slice_in_dim(spectra.re, lag, 1, axis=hop_axis),
+                jax.lax.dynamic_slice_in_dim(spectra.im, lag, 1, axis=hop_axis))
+            prod = packed_mul(xs, hp)
+            return acc_re + prod.re, acc_im + prod.im
+
+        acc_re = jnp.zeros(X.re.shape[:-2] + (t, h), X.re.dtype)
+        acc_im = jnp.zeros_like(acc_re)
+        acc_re, acc_im = jax.lax.fori_loop(0, lags, body, (acc_re, acc_im))
 
         y = fft_api.rifft(acc_re, acc_im, backend=backend) * (1.0 / (4.0 * n))
         out = y[..., h:]  # (..., T, H)
