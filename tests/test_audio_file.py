@@ -1,0 +1,147 @@
+"""Audio file I/O tests: round-trips across formats, cross-checked with scipy,
+plus 80-bit extended float parity."""
+
+import numpy as np
+import pytest
+import scipy.io.wavfile
+
+from hisstools_library_tpu.io import (
+    Endianness, FileType, IAudioFile, OAudioFile, PCMFormat,
+    double_to_extended, extended_to_double)
+
+
+def make_signal(rng, frames, channels):
+    return np.clip(rng.standard_normal((frames, channels)) * 0.3, -0.999, 0.999)
+
+
+TOL = {
+    PCMFormat.Int8: 2 ** -7,
+    PCMFormat.Int16: 2 ** -15,
+    PCMFormat.Int24: 2 ** -23,
+    PCMFormat.Int32: 2 ** -30,
+    PCMFormat.Float32: 1e-7,
+    PCMFormat.Float64: 0.0,
+}
+
+
+@pytest.mark.parametrize("fmt", list(PCMFormat))
+@pytest.mark.parametrize("ftype,endian", [
+    (FileType.WAVE, Endianness.Little),
+    (FileType.WAVE, Endianness.Big),
+    (FileType.AIFC, Endianness.Big),
+])
+def test_roundtrip(tmp_path, rng, fmt, ftype, endian):
+    path = str(tmp_path / "t.bin")
+    x = make_signal(rng, 277, 3)
+    with OAudioFile(path, ftype, fmt, 3, 44100.0, endian) as out:
+        assert not out.get_is_error(), out.get_errors()
+        out.write_interleaved(x)
+    with IAudioFile(path) as inp:
+        assert not inp.get_is_error(), inp.get_errors()
+        assert inp.channels == 3
+        assert inp.frames == 277
+        assert inp.sampling_rate == 44100.0
+        assert inp.pcm_format == fmt
+        y = inp.read_interleaved()
+    assert y.shape == x.shape
+    assert np.abs(y - x).max() <= TOL[fmt] * 1.01
+
+
+def test_wave_scipy_interop_write(tmp_path, rng):
+    # Our WAVE output must read correctly with scipy.
+    path = str(tmp_path / "t.wav")
+    x = make_signal(rng, 100, 2)
+    with OAudioFile(path, FileType.WAVE, PCMFormat.Int16, 2, 48000.0) as out:
+        out.write_interleaved(x)
+    sr, y = scipy.io.wavfile.read(path)
+    assert sr == 48000
+    assert np.abs(y / 32768.0 - x).max() < 2 ** -15 * 1.01
+
+
+def test_wave_scipy_interop_read(tmp_path, rng):
+    # And scipy's WAVE output must read correctly with us.
+    path = str(tmp_path / "t.wav")
+    x = (make_signal(rng, 64, 1)[:, 0] * 32767).astype(np.int16)
+    scipy.io.wavfile.write(path, 22050, x)
+    with IAudioFile(path) as inp:
+        assert inp.sampling_rate == 22050.0
+        assert inp.channels == 1
+        y = inp.read_channel(0)
+    assert np.abs(y - x / 32768.0).max() < 1e-9
+
+
+def test_float32_wave_scipy(tmp_path, rng):
+    path = str(tmp_path / "t.wav")
+    x = make_signal(rng, 50, 1).astype(np.float32)
+    scipy.io.wavfile.write(path, 8000, x)
+    with IAudioFile(path) as inp:
+        assert inp.pcm_format == PCMFormat.Float32
+        y = inp.read_interleaved()
+    assert np.abs(y[:, 0] - x[:, 0].astype(np.float64)).max() < 1e-7
+
+
+def test_seek_and_partial_reads(tmp_path, rng):
+    path = str(tmp_path / "t.wav")
+    x = make_signal(rng, 200, 2)
+    with OAudioFile(path, FileType.WAVE, PCMFormat.Float64, 2, 96000.0) as out:
+        out.write_interleaved(x)
+    with IAudioFile(path) as inp:
+        inp.seek(50)
+        y = inp.read_interleaved(25)
+        assert np.array_equal(y, x[50:75])
+        assert inp.get_position() == 75
+        y2 = inp.read_interleaved(1000)  # clamped to remaining
+        assert y2.shape[0] == 125
+
+
+def test_write_channel_rmw(tmp_path, rng):
+    path = str(tmp_path / "t.wav")
+    x = make_signal(rng, 80, 3)
+    with OAudioFile(path, FileType.WAVE, PCMFormat.Float64, 3, 44100.0) as out:
+        out.write_interleaved(x)
+        out.seek(0)
+        newch = make_signal(rng, 80, 1)[:, 0]
+        out.write_channel(1, newch)
+    with IAudioFile(path) as inp:
+        y = inp.read_interleaved()
+    assert np.allclose(y[:, 0], x[:, 0])
+    assert np.allclose(y[:, 1], newch)
+    assert np.allclose(y[:, 2], x[:, 2])
+
+
+@pytest.mark.parametrize("value", [44100.0, 48000.0, 22050.5, 96000.0, 8000.0, 1.0])
+def test_extended_float_roundtrip(value):
+    assert extended_to_double(double_to_extended(value)) == value
+
+
+def test_extended_float_zero():
+    assert extended_to_double(double_to_extended(0.0)) == 0.0
+
+
+def test_bad_file_errors(tmp_path):
+    path = str(tmp_path / "bad.wav")
+    with open(path, "wb") as f:
+        f.write(b"not an audio file at all....")
+    inp = IAudioFile(path)
+    assert inp.get_is_error()
+    inp2 = IAudioFile(str(tmp_path / "missing.wav"))
+    assert inp2.get_is_error()
+
+
+def test_error_strings():
+    from hisstools_library_tpu.io import Error, extract_errors_from_flags, get_error_string
+    flags = int(Error.FILE_BAD_FORMAT | Error.AIFC_WRONG_VERSION)
+    errs = extract_errors_from_flags(flags)
+    assert Error.FILE_BAD_FORMAT in errs and Error.AIFC_WRONG_VERSION in errs
+    assert get_error_string(Error.FILE_BAD_FORMAT) == "file bad format"
+
+
+def test_aifc_mono_float64(tmp_path, rng):
+    path = str(tmp_path / "t.aifc")
+    x = make_signal(rng, 33, 1)
+    with OAudioFile(path, FileType.AIFC, PCMFormat.Float64, 1, 44100.0) as out:
+        out.write_interleaved(x)
+    with IAudioFile(path) as inp:
+        assert inp.file_type == FileType.AIFC
+        y = inp.read_interleaved()
+    assert np.array_equal(y, x)
