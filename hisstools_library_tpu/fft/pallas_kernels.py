@@ -1,0 +1,113 @@
+"""Pallas TPU kernels for the partitioned-convolution hot loop.
+
+The frequency-domain partition MAC — ``Y[t,k] = sum_p X[t-1-p,k] * H[p,k]`` — is the
+framework's hottest loop (the reference's ``processPartition`` SIMD MAC,
+PartitionedConvolve.cpp:387-426). The XLA formulation makes one full pass over the
+spectra per partition lag (P passes of HBM traffic); this kernel tiles (channel x
+bin) blocks into VMEM and accumulates all P lags on-chip, so every spectrum is read
+from HBM exactly once — speed-of-light for this op is then pure HBM bandwidth on
+X + H + Y.
+
+Layout: split-complex planes, grid over (channels, bin-tiles); the hop axis stays
+whole inside a block (bounded by VMEM; the caller falls back to the XLA loop when
+it does not fit).
+
+Packed-bin note: lane handling for the packed DC/Nyquist bin (global bin 0) is a
+generic complex multiply inside the kernel; the caller overwrites bin 0 with the
+two real products afterwards (cheap (C,T)-sized fix-up) — same result as
+``packed_mul``'s special-casing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for choosing the bin-tile width.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_bin_tile(t: int, p: int, bins: int, dtype_bytes: int = 4) -> int:
+    """Largest 128-multiple tile such that X+H+Y blocks fit the VMEM budget."""
+    tile = min(bins, 512)
+    while tile >= 128:
+        need = dtype_bytes * 2 * ((t + p) * tile + p * tile + 2 * t * tile)
+        if need <= _VMEM_BUDGET and bins % tile == 0:
+            return tile
+        tile //= 2
+    return 0
+
+
+def _lag_mac_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
+                    *, t: int, p: int):
+    """One (channel, bin-tile) block: accumulate all P lags in VMEM.
+
+    The lag loop is unrolled in Python so every sliding-window slice has a
+    *static* start — Mosaic cannot prove alignment for dynamic sublane offsets,
+    but lowers static unaligned slices fine.
+    """
+    shape = (t, yre_ref.shape[-1])
+    acc_re = jnp.zeros(shape, yre_ref.dtype)
+    acc_im = jnp.zeros(shape, yre_ref.dtype)
+    for lag in range(p):
+        start = p - 1 - lag
+        xr = xre_ref[0, start:start + t, :]
+        xi = xim_ref[0, start:start + t, :]
+        hr = hre_ref[0, lag:lag + 1, :]
+        hi = him_ref[0, lag:lag + 1, :]
+        acc_re = acc_re + (xr * hr - xi * hi)
+        acc_im = acc_im + (xr * hi + xi * hr)
+    yre_ref[0, :, :] = acc_re
+    yim_ref[0, :, :] = acc_im
+
+
+def lag_mac(xpad_re: jax.Array, xpad_im: jax.Array,
+            h_re: jax.Array, h_im: jax.Array, t: int,
+            interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Fused partition MAC over zero-padded spectra.
+
+    ``xpad_*``: (C, T+P, K) — X_t at index t+P (P zeros in front).
+    ``h_*``:    (C, P, K) partition spectra.
+    Returns (C, T, K) accumulated products (generic complex multiply; the packed
+    bin-0 lanes must be fixed by the caller).
+    """
+    c, tp, k = xpad_re.shape
+    p = h_re.shape[-2]
+    assert tp == t + p, (tp, t, p)
+    tile = _pick_bin_tile(t, p, k)
+    if tile == 0:
+        raise ValueError("block does not fit VMEM; use the XLA fallback")
+
+    grid = (c, k // tile)
+    kernel = functools.partial(_lag_mac_kernel, t=t, p=p)
+    x_spec = pl.BlockSpec((1, tp, tile), lambda ci, ki: (ci, 0, ki),
+                          memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, p, tile), lambda ci, ki: (ci, 0, ki),
+                          memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((1, t, tile), lambda ci, ki: (ci, 0, ki),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((c, t, k), xpad_re.dtype)] * 2
+
+    yre, yim = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[x_spec, x_spec, h_spec, h_spec],
+        out_specs=[y_spec, y_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * c * t * p * k,
+            bytes_accessed=8 * c * ((t + p) * k + p * k + t * k),
+            transcendentals=0,
+        ),
+    )(xpad_re, xpad_im, h_re, h_im)
+    return yre, yim
+
+
+def lag_mac_fits(t: int, p: int, bins: int) -> bool:
+    return _pick_bin_tile(t, p, bins) > 0

@@ -1,0 +1,76 @@
+"""Offline (non-real-time) FIR convolution at maximum throughput.
+
+The reference's non-uniform scheme exists to bound *latency* on a sample-streaming
+CPU; offline IR processing in the reference goes through a single big FFT
+(spectral_processor::convolve). On TPU the throughput-optimal offline form of long
+FIR convolution is **uniform partitioned overlap-save with look-ahead**: one
+PartitionedConvolve section at a large FFT size with IR offset 0, whose inherent
+one-hop delay is removed by shifting the output left (free offline). This keeps
+peak memory bounded (unlike one giant FFT) while the fused Pallas MAC makes the
+partition count nearly free.
+
+Use :class:`FastFIR` when the same IR convolves many signals (spectra prepared
+once), or :func:`fast_fir` for one-shot use.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Split
+from . import partitioned as part
+
+
+def choose_fft_size(ir_len: int, sig_len: int) -> int:
+    """Pick the uniform FFT size: large enough to keep the partition count small,
+    bounded to the engine's 2^5..2^20 range and to sane frame memory."""
+    target = max(ir_len // 4, 2048)
+    n = 1 << max(int(np.ceil(np.log2(target))), 11)
+    return int(min(max(n, 1 << part.MIN_FFT_SIZE_LOG2), 1 << 17))
+
+
+class FastFIR:
+    """Uniform partitioned offline convolver with prepared spectra."""
+
+    def __init__(self, ir, fft_size: Optional[int] = None, dtype=jnp.float32,
+                 backend: Optional[str] = None):
+        ir = np.asarray(ir)
+        self.ir_len = ir.shape[-1]
+        self.fft_size = fft_size or choose_fft_size(self.ir_len, self.ir_len)
+        self.hop = self.fft_size >> 1
+        self.spectra = part.impulse_spectra(ir, self.fft_size, 0, 0, dtype, backend)
+        self.backend = backend
+
+    def __call__(self, x: jax.Array, mac_backend: str = "auto") -> jax.Array:
+        """conv(x, ir)[: len(x)] — the steady-state causal convolution.
+
+        When jitting, wrap :meth:`apply` and pass ``self.spectra`` as an argument
+        (a closure would bake the spectra into the program as constants)."""
+        return self.apply(self.spectra, x, backend=self.backend,
+                          mac_backend=mac_backend)
+
+    @staticmethod
+    def apply(spectra: Split, x: jax.Array, backend: Optional[str] = None,
+              mac_backend: str = "auto") -> jax.Array:
+        """Pure function: uniform-partitioned offline convolution with look-ahead."""
+        h = spectra.shape[-1]
+        L = x.shape[-1]
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, h)]
+        xp = jnp.pad(x, pad)
+        y = part.PartitionedConvolve.process_offline(
+            spectra, xp, backend=backend, mac_backend=mac_backend)
+        # The o=0 engine emits conv delayed by one hop; shift left (look-ahead).
+        return y[..., h:h + L]
+
+
+def fast_fir(x: jax.Array, ir, fft_size: Optional[int] = None,
+             dtype=None, backend: Optional[str] = None,
+             mac_backend: str = "auto") -> jax.Array:
+    """One-shot offline convolution: conv(x, ir)[: len(x)]."""
+    dtype = dtype or x.dtype
+    eng = FastFIR(ir, fft_size, dtype, backend)
+    return eng(x, mac_backend=mac_backend)

@@ -81,6 +81,60 @@ def impulse_spectra(ir, fft_size: int, offset: int = 0, length: int = 0,
     return Split(re, im)
 
 
+def _lag_mac_dispatch(xp_re, xp_im, h_re, h_im, t: int, mac_backend: str):
+    """Partition MAC over zero-padded spectra: Pallas fused kernel or XLA loop.
+
+    ``xp_*``: (..., T+P, K) zero-padded spectra; ``h_*``: (..., P, K).
+    Returns packed-correct (..., T, K) accumulations.
+    """
+    p = h_re.shape[-2]
+    bins = xp_re.shape[-1]
+    lead = xp_re.shape[:-2]
+
+    from ..fft.pallas_kernels import lag_mac, lag_mac_fits
+    on_cpu = jax.default_backend() == "cpu"
+    if mac_backend == "pallas":
+        use_pallas = True
+    elif mac_backend == "auto":
+        use_pallas = (not on_cpu) and lag_mac_fits(t, p, bins)
+    else:
+        use_pallas = False
+
+    if use_pallas:
+        c = int(np.prod(lead)) if lead else 1
+        xr = xp_re.reshape(c, t + p, bins)
+        xi = xp_im.reshape(c, t + p, bins)
+        hr = jnp.broadcast_to(h_re, lead + (p, bins)).reshape(c, p, bins)
+        hi = jnp.broadcast_to(h_im, lead + (p, bins)).reshape(c, p, bins)
+        yre, yim = lag_mac(xr, xi, hr, hi, t, interpret=on_cpu)
+        # Fix the packed DC/Nyquist lane (global bin 0): two real MACs.
+        idx = np.arange(t)[:, None] + (p - 1) - np.arange(p)[None, :]  # (T, P)
+        y0re = jnp.einsum("ctp,cp->ct", xr[:, :, 0][:, idx], hr[:, :, 0])
+        y0im = jnp.einsum("ctp,cp->ct", xi[:, :, 0][:, idx], hi[:, :, 0])
+        yre = yre.at[:, :, 0].set(y0re)
+        yim = yim.at[:, :, 0].set(y0im)
+        return yre.reshape(lead + (t, bins)), yim.reshape(lead + (t, bins))
+
+    # XLA fallback: fori_loop keeps one accumulator and one sliding window live.
+    hop_axis = xp_re.ndim - 2
+
+    def body(lag, acc):
+        acc_re, acc_im = acc
+        start = p - 1 - lag
+        xs = Split(
+            jax.lax.dynamic_slice_in_dim(xp_re, start, t, axis=hop_axis),
+            jax.lax.dynamic_slice_in_dim(xp_im, start, t, axis=hop_axis))
+        hp = Split(
+            jax.lax.dynamic_slice_in_dim(h_re, lag, 1, axis=hop_axis),
+            jax.lax.dynamic_slice_in_dim(h_im, lag, 1, axis=hop_axis))
+        prod = packed_mul(xs, hp)
+        return acc_re + prod.re, acc_im + prod.im
+
+    acc_re = jnp.zeros(lead + (t, bins), xp_re.dtype)
+    acc_im = jnp.zeros_like(acc_re)
+    return jax.lax.fori_loop(0, p, body, (acc_re, acc_im))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PartitionedState:
@@ -192,11 +246,16 @@ class PartitionedConvolve:
 
     @staticmethod
     def process_offline(spectra: Split, x: jax.Array,
-                        backend: Optional[str] = None) -> jax.Array:
+                        backend: Optional[str] = None,
+                        mac_backend: str = "auto") -> jax.Array:
         """Whole-signal path with no sequential dependency: batched rFFT over all
         hops, P-lag MAC along the hop axis, batched riFFT. Returns the same output
         as streaming from a fresh state (length = len(x), includes the engine's
-        one-hop delay)."""
+        one-hop delay).
+
+        ``mac_backend``: "pallas" fuses the partition MAC into a single-HBM-pass
+        Pallas kernel; "xla" uses a fori_loop of sliding windows (one HBM pass per
+        lag); "auto" picks pallas on TPU when the block fits VMEM."""
         h = spectra.shape[-1]
         n = 2 * h
         p = spectra.shape[-2]
@@ -212,29 +271,13 @@ class PartitionedConvolve:
         X = Split(*fft_api.rfft(frames, backend=backend))  # (..., T, N/2)
 
         # Y_t = sum_p X_{t-1-p} Hhat_p : lag-accumulate along the hop axis.
-        # A fori_loop (not an unrolled Python loop) keeps exactly one accumulator
-        # and one sliding window live — the unrolled form OOMs for long IRs.
         lags = min(p, t)
         pad_shape = X.re.shape[:-2] + (lags,) + X.re.shape[-1:]
         xp_re = jnp.concatenate([jnp.zeros(pad_shape, X.re.dtype), X.re], axis=-2)
         xp_im = jnp.concatenate([jnp.zeros(pad_shape, X.im.dtype), X.im], axis=-2)
-        hop_axis = xp_re.ndim - 2
-
-        def body(lag, acc):
-            acc_re, acc_im = acc
-            start = lags - 1 - lag
-            xs = Split(
-                jax.lax.dynamic_slice_in_dim(xp_re, start, t, axis=hop_axis),
-                jax.lax.dynamic_slice_in_dim(xp_im, start, t, axis=hop_axis))
-            hp = Split(
-                jax.lax.dynamic_slice_in_dim(spectra.re, lag, 1, axis=hop_axis),
-                jax.lax.dynamic_slice_in_dim(spectra.im, lag, 1, axis=hop_axis))
-            prod = packed_mul(xs, hp)
-            return acc_re + prod.re, acc_im + prod.im
-
-        acc_re = jnp.zeros(X.re.shape[:-2] + (t, h), X.re.dtype)
-        acc_im = jnp.zeros_like(acc_re)
-        acc_re, acc_im = jax.lax.fori_loop(0, lags, body, (acc_re, acc_im))
+        acc_re, acc_im = _lag_mac_dispatch(
+            xp_re, xp_im, spectra.re[..., :lags, :], spectra.im[..., :lags, :],
+            t, mac_backend)
 
         y = fft_api.rifft(acc_re, acc_im, backend=backend) * (1.0 / (4.0 * n))
         out = y[..., h:]  # (..., T, H)
