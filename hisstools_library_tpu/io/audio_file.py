@@ -140,10 +140,23 @@ def double_to_extended(value: float) -> bytes:
 
 # -- PCM codecs (vectorised numpy) ---------------------------------------------------
 
+USE_NATIVE_CODEC = True
+
+
 def _decode_pcm(raw: bytes, fmt: PCMFormat, endianness: Endianness,
-                dtype=np.float64) -> np.ndarray:
+                dtype=np.float64, wave_uint8: bool = False) -> np.ndarray:
     """Bytes -> normalised float array. Ints left-justify to 32 bits then scale by
-    2^-31 (reference u32ToOutput semantics)."""
+    2^-31 (reference u32ToOutput semantics). Uses the native C++ codec when
+    available (io/native_codec.py), falling back to vectorised numpy."""
+    if USE_NATIVE_CODEC:
+        from . import native_codec
+        out = native_codec.decode_pcm(raw, fmt.value,
+                                      endianness == Endianness.Little, wave_uint8)
+        if out is not None:
+            return out.astype(dtype, copy=False)
+    if wave_uint8 and fmt == PCMFormat.Int8:
+        b = np.frombuffer(raw, np.uint8).astype(np.int32)
+        return (((b - 128) << 24) * 2.0 ** -31).astype(dtype)
     bo = "<" if endianness == Endianness.Little else ">"
     if fmt == PCMFormat.Float32:
         return np.frombuffer(raw, bo + "f4").astype(dtype)
@@ -172,9 +185,21 @@ def _decode_pcm(raw: bytes, fmt: PCMFormat, endianness: Endianness,
     return (v * (2.0 ** -31)).astype(dtype)
 
 
-def _encode_pcm(x: np.ndarray, fmt: PCMFormat, endianness: Endianness) -> bytes:
+def _encode_pcm(x: np.ndarray, fmt: PCMFormat, endianness: Endianness,
+                wave_uint8: bool = False) -> bytes:
     """Normalised float array -> bytes (reference inputToU32: scale by 2^(bits-1),
     round, clip)."""
+    if USE_NATIVE_CODEC:
+        from . import native_codec
+        out = native_codec.encode_pcm(np.asarray(x, np.float64), fmt.value,
+                                      endianness == Endianness.Little, wave_uint8)
+        if out is not None:
+            return out
+    if wave_uint8 and fmt == PCMFormat.Int8:
+        bits = 8
+        lo, hi = -128, 127
+        v = np.clip(np.round(np.asarray(x, np.float64) * 128), lo, hi)
+        return (v.astype(np.int16) + 128).astype(np.uint8).tobytes()
     bo = "<" if endianness == Endianness.Little else ">"
     if fmt == PCMFormat.Float32:
         return np.asarray(x, bo + "f4").tobytes()
@@ -444,11 +469,11 @@ class IAudioFile(BaseAudioFile):
         raw = f.read(num_frames * self.frame_byte_count)
         got = len(raw) // self.frame_byte_count
         raw = raw[: got * self.frame_byte_count]
-        x = _decode_pcm(raw, self.pcm_format, self.audio_endianness, dtype)
-        if self.file_type == FileType.WAVE and self.pcm_format == PCMFormat.Int8:
-            # WAVE 8-bit PCM is unsigned-offset: re-bias.
-            b = np.frombuffer(raw, np.uint8).astype(np.int32)
-            x = (((b - 128) << 24) * 2.0 ** -31).astype(dtype)
+        # WAVE 8-bit PCM is unsigned-offset.
+        wave_uint8 = (self.file_type == FileType.WAVE
+                      and self.pcm_format == PCMFormat.Int8)
+        x = _decode_pcm(raw, self.pcm_format, self.audio_endianness, dtype,
+                        wave_uint8)
         self._position += got
         return x.reshape(got, self.channels)
 
@@ -592,9 +617,10 @@ class OAudioFile(BaseAudioFile):
         n = x.shape[0]
         if x.shape[1] != self.channels:
             raise ValueError(f"expected {self.channels} channels, got {x.shape[1]}")
-        raw = _encode_pcm(x.reshape(-1), self.pcm_format, self.audio_endianness)
-        if self.file_type == FileType.WAVE and self.pcm_format == PCMFormat.Int8:
-            raw = (np.frombuffer(raw, np.int8).astype(np.int16) + 128).astype(np.uint8).tobytes()
+        wave_uint8 = (self.file_type == FileType.WAVE
+                      and self.pcm_format == PCMFormat.Int8)
+        raw = _encode_pcm(x.reshape(-1), self.pcm_format, self.audio_endianness,
+                          wave_uint8)
         f = self._file
         f.seek(self.pcm_offset + self._position * self.frame_byte_count)
         f.write(raw)
@@ -616,10 +642,10 @@ class OAudioFile(BaseAudioFile):
         avail = max(0, self.frames - start)
         take = min(avail, n)
         raw = f.read(take * self.frame_byte_count)
-        cur = _decode_pcm(raw, self.pcm_format, self.audio_endianness)
-        if self.file_type == FileType.WAVE and self.pcm_format == PCMFormat.Int8 and raw:
-            b = np.frombuffer(raw, np.uint8).astype(np.int32)
-            cur = ((b - 128) << 24) * 2.0 ** -31
+        wave_uint8 = (self.file_type == FileType.WAVE
+                      and self.pcm_format == PCMFormat.Int8)
+        cur = _decode_pcm(raw, self.pcm_format, self.audio_endianness,
+                          wave_uint8=wave_uint8)
         frames = np.zeros((n, self.channels))
         if take:
             frames[:take] = cur.reshape(take, self.channels)
