@@ -60,9 +60,14 @@ def main():
            np.exp(-np.arange(ir_len) / (0.5 * fs))).astype(np.float32)
     x = rng.standard_normal((channels, sig_len)).astype(np.float32)
 
+    fft_mode = os.environ.get("BENCH_FFT_MODE")
+    if fft_mode:
+        from hisstools_library_tpu.fft import pallas_fft
+        pallas_fft.set_mode(fft_mode)
+
     t0 = time.time()
     if mode == "fast":
-        backend = os.environ.get("BENCH_FFT_BACKEND", "matmul")
+        backend = os.environ.get("BENCH_FFT_BACKEND", "pallas")
         eng = FastFIR(irs, dtype=jnp.float32, backend=backend)
         spectra = eng.spectra
         jax.block_until_ready(spectra.re)

@@ -50,7 +50,7 @@ _DEFAULT_BACKEND = "xla"
 def set_default_backend(name: str) -> None:
     """Set the process-wide default FFT backend ("xla" or "matmul")."""
     global _DEFAULT_BACKEND
-    if name not in ("xla", "matmul"):
+    if name not in ("xla", "matmul", "pallas"):
         raise ValueError(f"unknown FFT backend {name!r}")
     _DEFAULT_BACKEND = name
 
@@ -80,9 +80,13 @@ def fft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> Tuple[ja
     """Unscaled complex DFT along the last axis (reference hisstools_fft)."""
     n = re.shape[-1]
     _log2_size(n)
-    if _resolve(backend) == "matmul":
+    resolved = _resolve(backend)
+    if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.fft_split(re, im, inverse=False)
+    if resolved == "pallas":
+        from . import pallas_fft
+        return pallas_fft.fft_split(re, im, inverse=False)
     z = jnp.fft.fft(jax.lax.complex(re, im), axis=-1)
     return jnp.real(z).astype(re.dtype), jnp.imag(z).astype(re.dtype)
 
@@ -110,9 +114,13 @@ def rfft(x: jax.Array, backend: Optional[str] = None) -> Tuple[jax.Array, jax.Ar
     _log2_size(n)
     if n == 1:
         raise ValueError("rfft requires N >= 2")
-    if _resolve(backend) == "matmul":
+    resolved = _resolve(backend)
+    if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.rfft_packed(x)
+    if resolved == "pallas":
+        from . import pallas_fft
+        return pallas_fft.rfft_packed(x)
     z = jnp.fft.rfft(x, axis=-1)  # N/2 + 1 bins
     re = 2.0 * jnp.real(z).astype(x.dtype)
     im = 2.0 * jnp.imag(z).astype(x.dtype)
@@ -146,9 +154,13 @@ def rifft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> jax.Ar
     nbins = re.shape[-1]
     n = nbins * 2
     _log2_size(n)
-    if _resolve(backend) == "matmul":
+    resolved = _resolve(backend)
+    if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.rifft_packed(re, im)
+    if resolved == "pallas":
+        from . import pallas_fft
+        return pallas_fft.rifft_packed(re, im)
     dtype = re.dtype
     dc = re[..., :1]
     nyq = im[..., :1]

@@ -126,18 +126,19 @@ def _half_twiddle(m: int, dtype_name: str) -> Tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(dtype_name), (-np.sin(ang)).astype(dtype_name)
 
 
-def rfft_packed(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def rfft_packed(x: jax.Array, core=None) -> Tuple[jax.Array, jax.Array]:
     """Real FFT -> packed N/2-bin spectrum with the reference's x2 scale.
 
     Same decomposition as the reference real path: complex FFT at N/2 over zipped
     even/odd samples, then the real<->complex conversion pass
-    (HISSTools_FFT_Core.h:1350-1360 + :934-988).
+    (HISSTools_FFT_Core.h:1350-1360 + :934-988). ``core`` overrides the complex
+    FFT implementation (e.g. the fused Pallas kernel, pallas_fft.fft_split).
     """
     n = x.shape[-1]
     m = n // 2
     zr = x[..., 0::2]
     zi = x[..., 1::2]
-    Zr, Zi = fft_split(zr, zi, inverse=False)
+    Zr, Zi = (core or fft_split)(zr, zi, inverse=False)
 
     # conj(Z[(m - k) % m]) for k = 0..m-1
     Zr_rev = jnp.concatenate([Zr[..., :1], jnp.flip(Zr[..., 1:], axis=-1)], axis=-1)
@@ -165,9 +166,10 @@ def rfft_packed(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pr, pi
 
 
-def rifft_packed(re: jax.Array, im: jax.Array) -> jax.Array:
+def rifft_packed(re: jax.Array, im: jax.Array, core=None) -> jax.Array:
     """Inverse of :func:`rfft_packed` with the unscaled convention:
-    ``rifft_packed(rfft_packed(x)) == 2 N x``."""
+    ``rifft_packed(rfft_packed(x)) == 2 N x``. ``core`` overrides the complex FFT
+    (e.g. the fused Pallas kernel)."""
     m = re.shape[-1]
 
     # Work at the packed scale (X' = 2X): output needs a final factor of 2, because
@@ -198,7 +200,7 @@ def rifft_packed(re: jax.Array, im: jax.Array) -> jax.Array:
     Zr = ze_r - zo_i
     Zi = ze_i + zo_r
 
-    wr, wi = fft_split(Zr, Zi, inverse=True)  # unscaled inverse (m x IDFT)
+    wr, wi = (core or fft_split)(Zr, Zi, inverse=True)  # unscaled inverse (m x IDFT)
     # Interleave: y[2k] = Re, y[2k+1] = Im, final scale 2 (see note above).
     y = jnp.stack([wr, wi], axis=-1).reshape(*re.shape[:-1], m * 2)
     return 2.0 * y

@@ -1,0 +1,404 @@
+"""Fused Pallas TPU FFT kernels: real/complex four-step transforms in VMEM.
+
+The reference FFT (/root/reference/HISSTools_FFT/HISSTools_FFT_Core.h:1293-1374) is
+an in-place radix-4/2 pipeline whose passes all hit cache; the XLA FFT HLO and the
+staged matmul backend (matmul_fft.py) both stream every intermediate through HBM.
+These kernels are the TPU speed-of-light formulation for batched mid/large sizes:
+the whole four-step factorisation runs inside VMEM, so each signal is read from HBM
+exactly once and written exactly once, with both DFT stages on the MXU.
+
+Forward real transform (``rfft_packed``), N = n1*n2, x real:
+
+    A[a, b]  = x[a*n2 + b]                      free bitcast outside the kernel
+    B[k1, b] = sum_a A[a, b] * W_n1^(a k1)      MXU: 2 real matmuls (A is real)
+    C[k1, b] = B * W_N^(b k1)                   VPU twiddle
+    E[k2,k1] = sum_b C[k1, b] * W_n2^(b k2)     MXU, transpose folded into the
+                                                dot_general dimension numbers
+    X[k1 + n1*k2] = E[k2, k1]
+
+Only rows k2 in [0, n2/2] are computed (Hermitian symmetry); the kernel emits the
+HISSTools/vDSP packed layout directly — x2 scale folded into the stage-1 DFT
+matrix, DC in re[0], Nyquist (row n2/2, col 0) packed into im[0]
+(HISSTools_FFT_Core.h:934-988). No deinterleave or recombination pass exists at
+all: the zip/real-conversion passes of the reference become *indexing* here.
+
+Inverse (``rifft_packed``), output n = r + n2*s, unscaled (rifft(rfft(x)) = 2N x):
+
+    H[k1, r] = sum_k2 X[k2, k1] * W_n2^(-r k2)      MXU
+    H'[k1,r] = H * W_N^(-r k1)                      VPU
+    S[s, r]  = sum_k1 W_n1^(-s k1) * H'[k1, r]      MXU (real part only)
+    y[n]     = 2 Re(S) - X[0] + (-1)^n * Nyq
+
+DFT matrices and twiddles are generated in float64 on the host and cast (the
+reference generates twiddles in f64 too, HISSTools_FFT_Core.h:437-444). They enter
+the kernel through HBM and are DMA'd ONCE into persistent VMEM scratch on grid
+step 0 — keeping them out of the pipeline's double-buffered block path (which
+would both re-fetch them per step and double their VMEM footprint).
+
+MXU modes (``set_mode``): float32 operands on TPU lower to bf16 multi-pass
+matmuls. "highest" = Precision.HIGHEST (6 passes, ~f32-exact). "bf16x3" = manual
+3-pass split (a = hi + lo in bf16; drop lo*lo) — 2x faster, error ~2^-16 relative
+(>95 dB SNR), still far above the 80 dB framework target.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import matmul_fft
+
+# Real sizes handled by the fused real kernels; complex sizes by the complex one.
+# Below MIN the XLA-fused dense matmul (matmul_fft direct path) is already one
+# pass; above MAX the working set outgrows VMEM.
+MIN_REAL_SIZE = 4096
+MAX_REAL_SIZE = 1 << 18
+MIN_COMPLEX_SIZE = 2048
+MAX_COMPLEX_SIZE = 1 << 17
+
+_VMEM_TARGET = 13 * 1024 * 1024
+
+_MODE = "highest"  # or "bf16x3"
+
+
+def set_mode(mode: str) -> None:
+    """Set the default MXU matmul mode for the fused kernels."""
+    global _MODE
+    if mode not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown pallas fft mode {mode!r}")
+    _MODE = mode
+
+
+def get_mode() -> str:
+    return _MODE
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _dg(lhs, rhs, dims, mode):
+    """dot_general in the selected MXU mode (f32 accumulate either way)."""
+    if mode == "bf16x3":
+        lh = lhs.astype(jnp.bfloat16)
+        ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rh = rhs.astype(jnp.bfloat16)
+        rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+        f = partial(jax.lax.dot_general, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+        return f(lh, rh) + f(lh, rl) + f(ll, rh)
+    return jax.lax.dot_general(lhs, rhs, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+_MM = (((1,), (0,)), ((), ()))    # standard matmul
+_T2 = (((0,), (1,)), ((), ()))    # lhs^T @ rhs^T -> folded output transpose
+_T0 = (((0,), (0,)), ((), ()))    # lhs^T @ rhs
+
+
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _load_tables_once(hbm_refs, vmem_refs, sems):
+    """DMA the constant tables HBM -> persistent scratch on the first grid step."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dmas = [pltpu.make_async_copy(h, v, sems.at[i])
+                for i, (h, v) in enumerate(zip(hbm_refs, vmem_refs))]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+
+# -----------------------------------------------------------------------------
+# Host-side tables (float64 source, cast to f32)
+# -----------------------------------------------------------------------------
+
+def _split_real(n: int) -> Tuple[int, int]:
+    log2n = n.bit_length() - 1
+    n1 = 1 << ((log2n + 1) // 2)
+    return n1, n // n1
+
+
+@lru_cache(maxsize=32)
+def _fwd_tables(n1: int, n2: int):
+    n = n1 * n2
+    a = np.arange(n1, dtype=np.float64)
+    ang1 = 2.0 * np.pi * np.outer(a, a) / n1
+    f1r = (2.0 * np.cos(ang1)).astype(np.float32)     # x2 packed scale folded in
+    f1i = (-2.0 * np.sin(ang1)).astype(np.float32)
+    k1 = np.arange(n1, dtype=np.float64)[:, None]
+    b = np.arange(n2, dtype=np.float64)[None, :]
+    angt = 2.0 * np.pi * k1 * b / n
+    twr = np.cos(angt).astype(np.float32)
+    twi = (-np.sin(angt)).astype(np.float32)
+    rows = _pad8(n2 // 2 + 1)
+    bb = np.arange(n2, dtype=np.float64)[:, None]
+    k2 = np.arange(rows, dtype=np.float64)[None, :]
+    ang2 = 2.0 * np.pi * bb * k2 / n2
+    f2r = np.cos(ang2).astype(np.float32)
+    f2i = (-np.sin(ang2)).astype(np.float32)
+    return f1r, f1i, twr, twi, f2r, f2i
+
+
+@lru_cache(maxsize=32)
+def _inv_tables(n1: int, n2: int):
+    n = n1 * n2
+    n2h = n2 // 2
+    k2 = np.arange(n2h, dtype=np.float64)[:, None]
+    r = np.arange(n2, dtype=np.float64)[None, :]
+    angq = 2.0 * np.pi * k2 * r / n2
+    qr = np.cos(angq).astype(np.float32)
+    qi = np.sin(angq).astype(np.float32)                 # W^(-r k2)
+    k1 = np.arange(n1, dtype=np.float64)[:, None]
+    angt = 2.0 * np.pi * k1 * r / n
+    ctr = np.cos(angt).astype(np.float32)
+    cti = np.sin(angt).astype(np.float32)                # conj twiddle
+    s = np.arange(n1, dtype=np.float64)
+    angp = 2.0 * np.pi * np.outer(s, s) / n1
+    p1r = np.cos(angp).astype(np.float32)
+    p1i = np.sin(angp).astype(np.float32)                # W^(-s k1)
+    return qr, qi, ctr, cti, p1r, p1i
+
+
+# -----------------------------------------------------------------------------
+# Kernels (tables arrive in HBM; scratch holds the VMEM-resident copies)
+# -----------------------------------------------------------------------------
+
+def _rfft_kernel(x_ref, *refs, n2h: int, mode: str, group: int):
+    hbm = refs[:6]
+    pr_ref, pi_ref = refs[6:8]
+    f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, sems = refs[8:]
+    _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s), sems)
+    f1r = f1r_s[...]
+    f1i = f1i_s[...]
+    twr = twr_s[...]
+    twi = twi_s[...]
+    f2r = f2r_s[...]
+    f2i = f2i_s[...]
+    for g in range(group):
+        a = x_ref[g]                               # (n1, n2) real
+        br = _dg(f1r, a, _MM, mode)                # stage 1: real input -> 2 matmuls
+        bi = _dg(f1i, a, _MM, mode)
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        er = _dg(f2r, cr, _T2, mode) - _dg(f2i, ci, _T2, mode)   # (rows_pad, n1)
+        ei = _dg(f2r, ci, _T2, mode) + _dg(f2i, cr, _T2, mode)
+        nyq = er[n2h, 0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
+        at00 = (rows == 0) & (cols == 0)
+        pr_ref[g] = er[:n2h, :]
+        pi_ref[g] = jnp.where(at00, nyq, ei[:n2h, :])
+
+
+def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
+    hbm = refs[:6]
+    y_ref = refs[6]
+    qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[7:]
+    _load_tables_once(hbm, (qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
+    qr = qr_s[...]
+    qi = qi_s[...]
+    ctr = ctr_s[...]
+    cti = cti_s[...]
+    p1r = p1r_s[...]
+    p1i = p1i_s[...]
+    for g in range(group):
+        pr = pr_ref[g]                             # (n2h, n1) packed spectrum
+        pi = pi_ref[g]
+        x0 = pr[0, 0]
+        nyq = pi[0, 0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
+        pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
+        hr = _dg(pr, qr, _T0, mode) - _dg(pi0, qi, _T0, mode)    # (n1, n2)
+        hi = _dg(pr, qi, _T0, mode) + _dg(pi0, qr, _T0, mode)
+        h2r = hr * ctr - hi * cti
+        h2i = hr * cti + hi * ctr
+        sr = _dg(p1r, h2r, _MM, mode) - _dg(p1i, h2i, _MM, mode)
+        par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+        parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
+        # Packed values are used AS the spectrum (the x2 is not undone):
+        # y = 2 Re(S) - X[0] + (-1)^n Nyq, giving rifft(rfft(x)) == 2N x.
+        y_ref[g] = 2.0 * sr - x0 + nyq * parity
+
+
+def _cfft_kernel(ar_ref, ai_ref, *refs, mode: str, group: int):
+    hbm = refs[:6]
+    er_ref, ei_ref = refs[6:8]
+    f1r_s, f1i_s, f2r_s, f2i_s, twr_s, twi_s, sems = refs[8:]
+    _load_tables_once(hbm, (f1r_s, f1i_s, f2r_s, f2i_s, twr_s, twi_s), sems)
+    f1r = f1r_s[...]
+    f1i = f1i_s[...]
+    f2r = f2r_s[...]
+    f2i = f2i_s[...]
+    twr = twr_s[...]
+    twi = twi_s[...]
+    for g in range(group):
+        ar = ar_ref[g]
+        ai = ai_ref[g]
+        br = _dg(f1r, ar, _MM, mode) - _dg(f1i, ai, _MM, mode)
+        bi = _dg(f1r, ai, _MM, mode) + _dg(f1i, ar, _MM, mode)
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        er_ref[g] = _dg(f2r, cr, _T2, mode) - _dg(f2i, ci, _T2, mode)
+        ei_ref[g] = _dg(f2r, ci, _T2, mode) + _dg(f2i, cr, _T2, mode)
+
+
+# -----------------------------------------------------------------------------
+# Entry points
+# -----------------------------------------------------------------------------
+
+def _hbm_specs(k: int):
+    return [pl.BlockSpec(memory_space=pltpu.ANY)] * k
+
+
+def _pick_group(b: int, per_signal_io: int, temps: int, tables: int) -> int:
+    """Largest group whose (double-buffered io + unrolled temps + tables) fits."""
+    for g in (8, 4, 2, 1):
+        if b % g == 0:
+            est = tables + 2 * g * per_signal_io + g * temps
+            if est <= _VMEM_TARGET:
+                return g
+    return 1
+
+
+def real_eligible(n: int) -> bool:
+    return MIN_REAL_SIZE <= n <= MAX_REAL_SIZE and (n & (n - 1)) == 0
+
+
+def rfft_packed(x: jax.Array, interpret: bool | None = None,
+                mode: str | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Real FFT -> packed N/2 bins (x2 scale, Nyquist in im[0]), fully fused."""
+    n = x.shape[-1]
+    if not real_eligible(n) or x.dtype == jnp.float64:
+        return matmul_fft.rfft_packed(x, core=fft_split)
+    if interpret is None:
+        interpret = _interpret_default()
+    n1, n2 = _split_real(n)
+    n2h = n2 // 2
+    rows = _pad8(n2h + 1)
+    lead = x.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    tables = [jnp.asarray(t) for t in _fwd_tables(n1, n2)]
+    table_bytes = sum(int(t.size) * 4 for t in tables)
+    g = _pick_group(b, 8 * n, 8 * 4 * n1 * n2, table_bytes)
+    a = x.reshape(b, n1, n2).astype(jnp.float32)
+
+    in_spec = pl.BlockSpec((g, n1, n2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, n2h, n1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pr, pi = pl.pallas_call(
+        partial(_rfft_kernel, n2h=n2h, mode=mode or _MODE, group=g),
+        grid=(b // g,),
+        in_specs=[in_spec] + _hbm_specs(6),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n2h, n1), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM(t.shape, jnp.float32) for t in tables] +
+                       [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * (4 * n1 * n1 * n2 + 8 * n1 * n2 * rows),
+            bytes_accessed=8 * b * n, transcendentals=0),
+    )(a, *tables)
+    return pr.reshape(*lead, n // 2), pi.reshape(*lead, n // 2)
+
+
+def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
+                 mode: str | None = None) -> jax.Array:
+    """Unscaled inverse of the packed layout: rifft(rfft(x)) == 2N x, fully fused."""
+    nbins = re.shape[-1]
+    n = nbins * 2
+    if not real_eligible(n) or re.dtype == jnp.float64:
+        return matmul_fft.rifft_packed(re, im, core=fft_split)
+    if interpret is None:
+        interpret = _interpret_default()
+    n1, n2 = _split_real(n)
+    n2h = n2 // 2
+    lead = re.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    tables = [jnp.asarray(t) for t in _inv_tables(n1, n2)]
+    table_bytes = sum(int(t.size) * 4 for t in tables)
+    g = _pick_group(b, 8 * n, 8 * 4 * n1 * n2, table_bytes)
+    pr = re.reshape(b, n2h, n1).astype(jnp.float32)
+    pi = im.reshape(b, n2h, n1).astype(jnp.float32)
+
+    in_spec = pl.BlockSpec((g, n2h, n1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, n1, n2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        partial(_rifft_kernel, mode=mode or _MODE, group=g),
+        grid=(b // g,),
+        in_specs=[in_spec, in_spec] + _hbm_specs(6),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(t.shape, jnp.float32) for t in tables] +
+                       [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * (8 * n2h * n2 * n1 + 4 * n1 * n1 * n2),
+            bytes_accessed=8 * b * n, transcendentals=0),
+    )(pr, pi, *tables)
+    return y.reshape(*lead, n)
+
+
+def eligible(n: int) -> bool:
+    return MIN_COMPLEX_SIZE <= n <= MAX_COMPLEX_SIZE and (n & (n - 1)) == 0
+
+
+def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
+              interpret: bool | None = None,
+              mode: str | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Unscaled complex (i)DFT along the last axis, split layout, fused in VMEM.
+
+    Same semantics as matmul_fft.fft_split (forward = hisstools_fft; inverse =
+    unscaled N x IDFT = hisstools_ifft). Falls back to the staged matmul backend
+    for sizes outside [MIN_COMPLEX_SIZE, MAX_COMPLEX_SIZE] and for f64 (CPU
+    parity-testing) inputs.
+    """
+    n = re.shape[-1]
+    if not eligible(n) or re.dtype == jnp.float64:
+        return matmul_fft.fft_split(re, im, inverse=inverse)
+    if interpret is None:
+        interpret = _interpret_default()
+
+    n1, n2 = matmul_fft._split_factors(n)
+    lead = re.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    f1r, f1i = matmul_fft._dft_matrix(n1, "float32", inverse)
+    f2r, f2i = matmul_fft._dft_matrix(n2, "float32", inverse)
+    twr, twi = matmul_fft._twiddle(n1, n2, "float32", inverse)
+    tables = [jnp.asarray(t) for t in (f1r, f1i, f2r, f2i, twr, twi)]
+    table_bytes = sum(int(t.size) * 4 for t in tables)
+    g = _pick_group(b, 16 * n, 8 * 4 * n1 * n2, table_bytes)
+    ar = re.reshape(b, n1, n2).astype(jnp.float32)
+    ai = im.reshape(b, n1, n2).astype(jnp.float32)
+
+    sig_spec = pl.BlockSpec((g, n1, n2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, n2, n1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    er, ei = pl.pallas_call(
+        partial(_cfft_kernel, mode=mode or _MODE, group=g),
+        grid=(b // g,),
+        in_specs=[sig_spec, sig_spec] + _hbm_specs(6),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM(t.shape, jnp.float32) for t in tables] +
+                       [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * 8 * (n1 * n1 * n2 + n2 * n2 * n1),
+            bytes_accessed=16 * b * n, transcendentals=0),
+    )(ar, ai, *tables)
+    return er.reshape(*lead, n), ei.reshape(*lead, n)

@@ -139,3 +139,70 @@ def test_float64_path(rng):
     assert np.abs(np.asarray(re) - ore).max() < 1e-9
     y = fft.rifft(re, im)
     assert snr_db(2.0 * n * x, y) > 200.0
+
+
+# -----------------------------------------------------------------------------
+# Fused Pallas kernels (interpret mode on CPU; the TPU path is identical code)
+# -----------------------------------------------------------------------------
+
+PALLAS_REAL_SIZES = [4096, 8192, 16384, 65536, 131072]
+
+
+@pytest.mark.parametrize("n", PALLAS_REAL_SIZES)
+def test_pallas_rfft_matches_packed_oracle(rng, n):
+    from hisstools_library_tpu.fft import pallas_fft
+
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = pallas_fft.rfft_packed(jnp.asarray(x), interpret=True)
+    ore, oim = packed_oracle(x.astype(np.float64))
+    scale = np.abs(ore).max()
+    assert np.abs(np.asarray(re) - ore).max() / scale < 2e-5
+    assert np.abs(np.asarray(im) - oim).max() / scale < 2e-5
+
+
+@pytest.mark.parametrize("n", PALLAS_REAL_SIZES)
+def test_pallas_rfft_rifft_roundtrip_is_2N(rng, n):
+    from hisstools_library_tpu.fft import pallas_fft
+
+    x = rng.standard_normal((4, n)).astype(np.float32)  # batch 4 exercises grouping
+    re, im = pallas_fft.rfft_packed(jnp.asarray(x), interpret=True)
+    y = pallas_fft.rifft_packed(re, im, interpret=True)
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > 100.0
+
+
+@pytest.mark.parametrize("n", [2048, 8192, 65536])
+def test_pallas_complex_fft(rng, n):
+    from hisstools_library_tpu.fft import pallas_fft
+
+    zr = rng.standard_normal((2, n)).astype(np.float32)
+    zi = rng.standard_normal((2, n)).astype(np.float32)
+    fr, fi = pallas_fft.fft_split(jnp.asarray(zr), jnp.asarray(zi), interpret=True)
+    z = np.fft.fft(zr.astype(np.float64) + 1j * zi.astype(np.float64), axis=-1)
+    scale = np.abs(z.real).max()
+    assert np.abs(np.asarray(fr) - z.real).max() / scale < 2e-5
+    assert np.abs(np.asarray(fi) - z.imag).max() / scale < 2e-5
+    br, bi = pallas_fft.fft_split(fr, fi, inverse=True, interpret=True)
+    assert snr_db(n * zr.astype(np.float64), br) > 100.0
+
+
+def test_pallas_bf16x3_mode_snr(rng):
+    from hisstools_library_tpu.fft import pallas_fft
+
+    n = 65536
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = pallas_fft.rfft_packed(jnp.asarray(x), interpret=True, mode="bf16x3")
+    y = pallas_fft.rifft_packed(re, im, interpret=True, mode="bf16x3")
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > 90.0
+
+
+def test_pallas_backend_via_api(rng):
+    """backend="pallas" routes rfft/rifft/fft through the fused kernels with
+    fallbacks for small sizes."""
+    for n in (256, 8192):  # small -> fallback, large -> fused
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        re, im = fft.rfft(jnp.asarray(x), backend="pallas")
+        ore, oim = packed_oracle(x.astype(np.float64))
+        scale = np.abs(ore).max()
+        assert np.abs(np.asarray(re) - ore).max() / scale < 2e-5
+        y = fft.rifft(re, im, backend="pallas")
+        assert snr_db(2.0 * n * x.astype(np.float64), y) > 100.0
