@@ -402,3 +402,166 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
             bytes_accessed=16 * b * n, transcendentals=0),
     )(ar, ai, *tables)
     return er.reshape(*lead, n), ei.reshape(*lead, n)
+
+
+# -----------------------------------------------------------------------------
+# Convolution-fused variants: streaming forward + overlap-save tail inverse.
+#
+# These serve the partitioned-convolution hot path (models/partitioned.py).
+# The reference engine stages each hop's [previous block | current block] frame
+# into a scratch buffer before the rFFT (PartitionedConvolve.cpp:304-307) and
+# discards the first half of each iFFT output (overlap-save, :352-377). Here
+# both become kernel index arithmetic: the forward kernel reads the two
+# overlapping hop blocks directly from the signal (stage-1 matmul split into
+# two half-width matmuls, same FLOPs), and the inverse kernel only computes the
+# kept second half-block (rows s >= n1/2 of stage C - HALF the stage-C FLOPs)
+# with the 1/(4N) overlap-save scale folded in. No frames buffer, no discard
+# slice, no separate scale pass exist in HBM at all.
+# -----------------------------------------------------------------------------
+
+def _rfft_stream_kernel(prev_ref, cur_ref, *refs, n2h: int, mode: str):
+    hbm = refs[:6]
+    pr_ref, pi_ref = refs[6:8]
+    f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, sems = refs[8:]
+    _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s), sems)
+    f1r = f1r_s[...]
+    f1i = f1i_s[...]
+    n1h = prev_ref.shape[-2]
+    prev = prev_ref[0]                             # (n1/2, n2): first half-frame
+    cur = cur_ref[0]                               # (n1/2, n2): second half-frame
+    br = _dg(f1r[:, :n1h], prev, _MM, mode) + _dg(f1r[:, n1h:], cur, _MM, mode)
+    bi = _dg(f1i[:, :n1h], prev, _MM, mode) + _dg(f1i[:, n1h:], cur, _MM, mode)
+    twr = twr_s[...]
+    twi = twi_s[...]
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    f2r = f2r_s[...]
+    f2i = f2i_s[...]
+    er = _dg(f2r, cr, _T2, mode) - _dg(f2i, ci, _T2, mode)
+    ei = _dg(f2r, ci, _T2, mode) + _dg(f2i, cr, _T2, mode)
+    nyq = er[n2h, 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
+    at00 = (rows == 0) & (cols == 0)
+    pr_ref[0, 0] = er[:n2h, :]
+    pi_ref[0, 0] = jnp.where(at00, nyq, ei[:n2h, :])
+
+
+def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
+                       mode: str | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Overlap-save forward: hop-blocked signal -> per-hop packed spectra.
+
+    ``x2d``: (..., M, H) hop blocks (M = T+1; block 0 is the initial history,
+    normally zeros). Returns packed Split planes of shape (..., T, N/2) where
+    N = 2H, equal to rfft([x2d[t], x2d[t+1]]) for each hop t — without ever
+    materialising the concatenated frames.
+    """
+    m, hop = x2d.shape[-2], x2d.shape[-1]
+    n = 2 * hop
+    t = m - 1
+    assert real_eligible(n) and x2d.dtype != jnp.float64
+    if interpret is None:
+        interpret = _interpret_default()
+    n1, n2 = _split_real(n)
+    n1h = n1 // 2
+    n2h = n2 // 2
+    rows = _pad8(n2h + 1)
+    lead = x2d.shape[:-2]
+    b = int(np.prod(lead)) if lead else 1
+    tables = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
+    x3 = x2d.reshape(b, m * n1h, n2).astype(jnp.float32)
+
+    prev_spec = pl.BlockSpec((1, n1h, n2), lambda c, i: (c, i, 0),
+                             memory_space=pltpu.VMEM)
+    cur_spec = pl.BlockSpec((1, n1h, n2), lambda c, i: (c, i + 1, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, n2h, n1), lambda c, i: (c, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pr, pi = pl.pallas_call(
+        partial(_rfft_stream_kernel, n2h=n2h, mode=mode or _MODE),
+        grid=(b, t),
+        in_specs=[prev_spec, cur_spec] + _hbm_specs(6),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, t, n2h, n1), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in tables] +
+                       [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * t * (4 * n1 * n1 * n2 + 8 * n1 * n2 * rows),
+            bytes_accessed=b * t * 12 * hop, transcendentals=0),
+    )(x3, x3, *tables)
+    kk = n // 2
+    return (pr.reshape(*lead, t, kk), pi.reshape(*lead, t, kk))
+
+
+def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str):
+    hbm = refs[:6]
+    y_ref = refs[6]
+    qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[7:]
+    _load_tables_once(hbm, (qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
+    pr = pr_ref[0, 0]
+    pi = pi_ref[0, 0]
+    x0 = pr[0, 0]
+    nyq = pi[0, 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
+    pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
+    qr = qr_s[...]
+    qi = qi_s[...]
+    hr = _dg(pr, qr, _T0, mode) - _dg(pi0, qi, _T0, mode)
+    hi = _dg(pr, qi, _T0, mode) + _dg(pi0, qr, _T0, mode)
+    ctr = ctr_s[...]
+    cti = cti_s[...]
+    h2r = hr * ctr - hi * cti
+    h2i = hr * cti + hi * ctr
+    n1h = y_ref.shape[-2]
+    p1r = p1r_s[...]
+    p1i = p1i_s[...]
+    sr = _dg(p1r[n1h:, :], h2r, _MM, mode) - _dg(p1i[n1h:, :], h2i, _MM, mode)
+    par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+    parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
+    y_ref[0, 0] = scale * (2.0 * sr - x0 + nyq * parity)
+
+
+def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
+                      interpret: bool | None = None,
+                      mode: str | None = None) -> jax.Array:
+    """Overlap-save inverse: packed per-hop spectra -> kept second half-blocks.
+
+    ``re``/``im``: (..., T, N/2). Returns (..., T, H) = scale * rifft(X_t)[H:]
+    for each hop — the discarded first half is never computed (rows s < n1/2 of
+    stage C are skipped entirely).
+    """
+    t, nbins = re.shape[-2], re.shape[-1]
+    n = nbins * 2
+    hop = n // 2
+    assert real_eligible(n) and re.dtype != jnp.float64
+    if interpret is None:
+        interpret = _interpret_default()
+    n1, n2 = _split_real(n)
+    n1h = n1 // 2
+    n2h = n2 // 2
+    lead = re.shape[:-2]
+    b = int(np.prod(lead)) if lead else 1
+    tables = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
+    pr = re.reshape(b, t, n2h, n1).astype(jnp.float32)
+    pi = im.reshape(b, t, n2h, n1).astype(jnp.float32)
+
+    in_spec = pl.BlockSpec((1, 1, n2h, n1), lambda c, i: (c, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, n1h, n2), lambda c, i: (c, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        partial(_rifft_tail_kernel, scale=float(scale), mode=mode or _MODE),
+        grid=(b, t),
+        in_specs=[in_spec, in_spec] + _hbm_specs(6),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, n1h, n2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in tables] +
+                       [pltpu.SemaphoreType.DMA((6,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * t * (8 * n2h * n2 * n1 + 2 * n1 * n1 * n2),
+            bytes_accessed=b * t * 12 * hop, transcendentals=0),
+    )(pr, pi, *tables)
+    return y.reshape(*lead, t, hop)

@@ -111,3 +111,83 @@ def lag_mac(xpad_re: jax.Array, xpad_im: jax.Array,
 
 def lag_mac_fits(t: int, p: int, bins: int) -> bool:
     return _pick_bin_tile(t, p, bins) > 0
+
+
+# -----------------------------------------------------------------------------
+# Causal (unpadded) variant: accumulate only valid lags via static slice
+# offsets, so the caller never materialises a zero-padded spectra array.
+# -----------------------------------------------------------------------------
+
+def _lag_mac_causal_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
+                           *, t: int, p: int):
+    """Y_t = sum_p X_{t-1-p} H_p with X unpadded: lag p touches output rows
+    [p+1, t) and input rows [0, t-1-p) — all slice starts static (unrolled)."""
+    shape = (t, yre_ref.shape[-1])
+    acc_re = jnp.zeros(shape, yre_ref.dtype)
+    acc_im = jnp.zeros(shape, yre_ref.dtype)
+    for lag in range(min(p, t - 1)):
+        nv = t - 1 - lag
+        xr = xre_ref[0, 0:nv, :]
+        xi = xim_ref[0, 0:nv, :]
+        hr = hre_ref[0, lag:lag + 1, :]
+        hi = him_ref[0, lag:lag + 1, :]
+        # Front-pad the product to the output length (scatter-add is not
+        # lowerable on Mosaic; a zero-concat is).
+        zpad = jnp.zeros((lag + 1, shape[1]), yre_ref.dtype)
+        acc_re = acc_re + jnp.concatenate([zpad, xr * hr - xi * hi], axis=0)
+        acc_im = acc_im + jnp.concatenate([zpad, xr * hi + xi * hr], axis=0)
+    yre_ref[0, :, :] = acc_re
+    yim_ref[0, :, :] = acc_im
+
+
+def _pick_bin_tile_causal(t: int, p: int, bins: int) -> int:
+    tile = min(bins, 8192)
+    while tile >= 128:
+        need = 4 * 2 * (2 * t * tile + p * tile + 2 * t * tile)
+        if need <= _VMEM_BUDGET and bins % tile == 0:
+            return tile
+        tile //= 2
+    return 0
+
+
+def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
+                   h_re: jax.Array, h_im: jax.Array,
+                   interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Fused partition MAC over UNPADDED spectra.
+
+    ``x_*``: (C, T, K) hop spectra X_0..X_{T-1}; ``h_*``: (C, P, K).
+    Returns (C, T, K): Y_t = sum_p X_{t-1-p} * H_p (generic complex multiply;
+    the packed bin-0 lane must be fixed by the caller). Row 0 is always zero.
+    """
+    c, t, k = x_re.shape
+    p = h_re.shape[-2]
+    tile = _pick_bin_tile_causal(t, p, k)
+    if tile == 0:
+        raise ValueError("block does not fit VMEM; use the XLA fallback")
+
+    grid = (c, k // tile)
+    kernel = functools.partial(_lag_mac_causal_kernel, t=t, p=p)
+    x_spec = pl.BlockSpec((1, t, tile), lambda ci, ki: (ci, 0, ki),
+                          memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, p, tile), lambda ci, ki: (ci, 0, ki),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((c, t, k), x_re.dtype)] * 2
+
+    yre, yim = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[x_spec, x_spec, h_spec, h_spec],
+        out_specs=[x_spec, x_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * c * t * p * k,
+            bytes_accessed=8 * c * k * (2 * t + p),
+            transcendentals=0,
+        ),
+    )(x_re, x_im, h_re, h_im)
+    return yre, yim
+
+
+def lag_mac_causal_fits(t: int, p: int, bins: int) -> bool:
+    return _pick_bin_tile_causal(t, p, bins) > 0

@@ -255,7 +255,15 @@ class PartitionedConvolve:
 
         ``mac_backend``: "pallas" fuses the partition MAC into a single-HBM-pass
         Pallas kernel; "xla" uses a fori_loop of sliding windows (one HBM pass per
-        lag); "auto" picks pallas on TPU when the block fits VMEM."""
+        lag); "auto" picks pallas on TPU when the block fits VMEM.
+
+        With ``backend="pallas"`` and eligible shapes the whole chain runs as
+        three fused kernels (streaming rFFT -> causal MAC -> tail riFFT) with no
+        intermediate staging arrays in HBM (see _process_offline_fused)."""
+        if backend == "pallas" and mac_backend in ("auto", "pallas"):
+            out = PartitionedConvolve._process_offline_fused(spectra, x)
+            if out is not None:
+                return out
         h = spectra.shape[-1]
         n = 2 * h
         p = spectra.shape[-2]
@@ -281,4 +289,59 @@ class PartitionedConvolve:
 
         y = fft_api.rifft(acc_re, acc_im, backend=backend) * (1.0 / (4.0 * n))
         out = y[..., h:]  # (..., T, H)
+        return out.reshape(*out.shape[:-2], t * h)[..., :L]
+
+    @staticmethod
+    def _process_offline_fused(spectra: Split, x: jax.Array) -> Optional[jax.Array]:
+        """Fully fused offline chain: the reference's per-hop staging copies
+        (PartitionedConvolve.cpp:304-307), overlap-save discard (:352-377) and
+        1/(4N) scale pass (:232-241) all become kernel index arithmetic —
+        streaming rFFT reads the two overlapping hop blocks in place, the causal
+        MAC accumulates valid lags only, and the tail riFFT computes just the
+        kept half-block with the scale folded in. Returns None if the shapes are
+        not eligible (caller falls back to the staged path)."""
+        from ..fft import pallas_fft
+        from ..fft.pallas_kernels import lag_mac_causal, lag_mac_causal_fits
+
+        h = spectra.shape[-1]
+        n = 2 * h
+        p = spectra.shape[-2]
+        L = x.shape[-1]
+        t = -(-L // h)
+        lags = min(p, t - 1) if t > 1 else 0
+        if (not pallas_fft.real_eligible(n) or x.dtype == jnp.float64
+                or lags < 1 or not lag_mac_causal_fits(t, lags, h)):
+            return None
+        interpret = jax.default_backend() == "cpu"
+
+        lead = x.shape[:-1]
+        if L % h:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, h - (L % h))])
+        zeros = jnp.zeros(lead + (h,), x.dtype)
+        x2d = jnp.concatenate([zeros, x], axis=-1).reshape(*lead, t + 1, h)
+
+        X = Split(*pallas_fft.rfft_packed_stream(x2d))       # (..., T, K)
+
+        c = int(np.prod(lead)) if lead else 1
+        xr = X.re.reshape(c, t, h)
+        xi = X.im.reshape(c, t, h)
+        hr = jnp.broadcast_to(spectra.re[..., :lags, :], lead + (lags, h))
+        hi = jnp.broadcast_to(spectra.im[..., :lags, :], lead + (lags, h))
+        hr = hr.reshape(c, lags, h).astype(xr.dtype)
+        hi = hi.reshape(c, lags, h).astype(xr.dtype)
+        yre, yim = lag_mac_causal(xr, xi, hr, hi, interpret=interpret)
+
+        # Fix the packed DC/Nyquist lane (global bin 0): two real causal MACs.
+        idx = np.arange(t)[:, None] - 1 - np.arange(lags)[None, :]   # (T, P)
+        valid = idx >= 0
+        idxc = np.where(valid, idx, 0)
+        mask = jnp.asarray(valid, xr.dtype)
+        y0re = jnp.einsum("ctp,tp,cp->ct", xr[:, :, 0][:, idxc], mask, hr[:, :, 0])
+        y0im = jnp.einsum("ctp,tp,cp->ct", xi[:, :, 0][:, idxc], mask, hi[:, :, 0])
+        yre = yre.at[:, :, 0].set(y0re)
+        yim = yim.at[:, :, 0].set(y0im)
+        yre = yre.reshape(lead + (t, h))
+        yim = yim.reshape(lead + (t, h))
+
+        out = pallas_fft.rifft_packed_tail(yre, yim, scale=1.0 / (4.0 * n))
         return out.reshape(*out.shape[:-2], t * h)[..., :L]

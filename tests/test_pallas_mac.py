@@ -81,3 +81,70 @@ def test_choose_fft_size_bounds():
     assert choose_fft_size(480000, 480000) == 1 << 17
     assert 32 <= choose_fft_size(10, 10) <= 1 << 17
     assert choose_fft_size(10_000_000, 1) == 1 << 17
+
+
+def test_lag_mac_causal_matches_padded(rng):
+    """Causal (unpadded) kernel == padded kernel result."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.fft.pallas_kernels import lag_mac, lag_mac_causal
+
+    c, t, p, k = 3, 7, 4, 256
+    xr = rng.standard_normal((c, t, k)).astype(np.float32)
+    xi = rng.standard_normal((c, t, k)).astype(np.float32)
+    hr = rng.standard_normal((c, p, k)).astype(np.float32)
+    hi = rng.standard_normal((c, p, k)).astype(np.float32)
+    pad = np.zeros((c, p, k), np.float32)
+    xpr = jnp.asarray(np.concatenate([pad, xr], axis=1))
+    xpi = jnp.asarray(np.concatenate([pad, xi], axis=1))
+    ar, ai = lag_mac(xpr, xpi, jnp.asarray(hr), jnp.asarray(hi), t, interpret=True)
+    br, bi = lag_mac_causal(jnp.asarray(xr), jnp.asarray(xi),
+                            jnp.asarray(hr), jnp.asarray(hi), interpret=True)
+    np.testing.assert_allclose(np.asarray(br), np.asarray(ar), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bi), np.asarray(ai), atol=1e-4)
+
+
+def test_rfft_stream_and_tail_kernels(rng):
+    """Streaming forward == rfft of concatenated frames; tail inverse ==
+    scaled second half of the full inverse."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.fft import pallas_fft
+
+    h, t = 2048, 5
+    n = 2 * h
+    x = rng.standard_normal((2, (t + 1) * h)).astype(np.float32)
+    x2d = jnp.asarray(x.reshape(2, t + 1, h))
+    sr, si = pallas_fft.rfft_packed_stream(x2d, interpret=True)
+    # oracle: frames [block_t, block_t+1]
+    frames = np.stack([np.concatenate([x.reshape(2, t + 1, h)[:, i],
+                                       x.reshape(2, t + 1, h)[:, i + 1]], axis=-1)
+                       for i in range(t)], axis=1)
+    fr, fi = pallas_fft.rfft_packed(jnp.asarray(frames), interpret=True)
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(fr), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(si), np.asarray(fi), atol=2e-2)
+
+    scale = 1.0 / (4.0 * n)
+    tail = pallas_fft.rifft_packed_tail(sr, si, scale=scale, interpret=True)
+    full = pallas_fft.rifft_packed(sr, si, interpret=True) * scale
+    np.testing.assert_allclose(np.asarray(tail), np.asarray(full)[..., h:],
+                               atol=1e-4)
+
+
+def test_process_offline_fused_matches_staged(rng):
+    """backend="pallas" fused offline chain == staged matmul/xla chain."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.core.types import Split
+    from hisstools_library_tpu.models import partitioned as part
+
+    fft_size, ir_len, L = 4096, 9000, 20000
+    ir = (rng.standard_normal(ir_len) * 0.2).astype(np.float32)
+    x = rng.standard_normal((1, L)).astype(np.float32)
+    spec = part.impulse_spectra(ir[None], fft_size, 0, 0)
+    y_fused = part.PartitionedConvolve.process_offline(
+        Split(spec.re, spec.im), jnp.asarray(x), backend="pallas")
+    y_ref = part.PartitionedConvolve.process_offline(
+        Split(spec.re, spec.im), jnp.asarray(x), backend="matmul",
+        mac_backend="xla")
+    ref = np.asarray(y_ref, np.float64)
+    d = np.asarray(y_fused, np.float64) - ref
+    snr = 10 * np.log10((ref * ref).sum() / max((d * d).sum(), 1e-300))
+    assert snr > 100.0
