@@ -60,14 +60,15 @@ def main():
            np.exp(-np.arange(ir_len) / (0.5 * fs))).astype(np.float32)
     x = rng.standard_normal((channels, sig_len)).astype(np.float32)
 
-    fft_mode = os.environ.get("BENCH_FFT_MODE")
-    if fft_mode:
-        from hisstools_library_tpu.fft import pallas_fft
-        pallas_fft.set_mode(fft_mode)
+    # bf16x3 is the default MXU mode: ~100 dB SNR (target is >=80) at 2x the
+    # matmul throughput of Precision.HIGHEST; BENCH_FFT_MODE=highest for ~134 dB.
+    fft_mode = os.environ.get("BENCH_FFT_MODE", "bf16x3")
+    from hisstools_library_tpu.fft import pallas_fft
+    pallas_fft.set_mode(fft_mode)
 
+    backend = os.environ.get("BENCH_FFT_BACKEND", "pallas")
     t0 = time.time()
     if mode == "fast":
-        backend = os.environ.get("BENCH_FFT_BACKEND", "pallas")
         eng = FastFIR(irs, dtype=jnp.float32, backend=backend)
         spectra = eng.spectra
         jax.block_until_ready(spectra.re)
@@ -80,7 +81,7 @@ def main():
         jax.block_until_ready(ir.head_taps)
         log(f"scheme {scheme.sizes} IR spectra prepared in {time.time() - t0:.2f}s "
             f"(partitions: {[s.shape[-2] for s in ir.spectra]})")
-        fwd = jax.jit(mono.process_offline)
+        fwd = jax.jit(lambda i, xx: mono.process_offline(i, xx, backend=backend))
     xd = jnp.asarray(x)
 
     def sync(out):

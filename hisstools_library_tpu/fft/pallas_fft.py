@@ -146,7 +146,8 @@ def _fwd_tables(n1: int, n2: int):
     ang2 = 2.0 * np.pi * bb * k2 / n2
     f2r = np.cos(ang2).astype(np.float32)
     f2i = (-np.sin(ang2)).astype(np.float32)
-    return f1r, f1i, twr, twi, f2r, f2i
+    f2s = (np.cos(ang2) - np.sin(ang2)).astype(np.float32)  # Karatsuba sum table
+    return f1r, f1i, twr, twi, f2r, f2i, f2s
 
 
 @lru_cache(maxsize=32)
@@ -162,11 +163,12 @@ def _inv_tables(n1: int, n2: int):
     angt = 2.0 * np.pi * k1 * r / n
     ctr = np.cos(angt).astype(np.float32)
     cti = np.sin(angt).astype(np.float32)                # conj twiddle
+    qs = (np.cos(angq) + np.sin(angq)).astype(np.float32)  # Karatsuba sum table
     s = np.arange(n1, dtype=np.float64)
     angp = 2.0 * np.pi * np.outer(s, s) / n1
     p1r = np.cos(angp).astype(np.float32)
     p1i = np.sin(angp).astype(np.float32)                # W^(-s k1)
-    return qr, qi, ctr, cti, p1r, p1i
+    return qr, qi, qs, ctr, cti, p1r, p1i
 
 
 # -----------------------------------------------------------------------------
@@ -174,24 +176,30 @@ def _inv_tables(n1: int, n2: int):
 # -----------------------------------------------------------------------------
 
 def _rfft_kernel(x_ref, *refs, n2h: int, mode: str, group: int):
-    hbm = refs[:6]
-    pr_ref, pi_ref = refs[6:8]
-    f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, sems = refs[8:]
-    _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s), sems)
+    hbm = refs[:7]
+    pr_ref, pi_ref = refs[7:9]
+    f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s, sems = refs[9:]
+    _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s),
+                      sems)
     f1r = f1r_s[...]
     f1i = f1i_s[...]
     twr = twr_s[...]
     twi = twi_s[...]
     f2r = f2r_s[...]
     f2i = f2i_s[...]
+    f2s = f2s_s[...]
     for g in range(group):
         a = x_ref[g]                               # (n1, n2) real
         br = _dg(f1r, a, _MM, mode)                # stage 1: real input -> 2 matmuls
         bi = _dg(f1i, a, _MM, mode)
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
-        er = _dg(f2r, cr, _T2, mode) - _dg(f2i, ci, _T2, mode)   # (rows_pad, n1)
-        ei = _dg(f2r, ci, _T2, mode) + _dg(f2i, cr, _T2, mode)
+        # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
+        m1 = _dg(f2r, cr, _T2, mode)
+        m2 = _dg(f2i, ci, _T2, mode)
+        m3 = _dg(f2s, cr + ci, _T2, mode)
+        er = m1 - m2                                             # (rows_pad, n1)
+        ei = m3 - m1 - m2
         nyq = er[n2h, 0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
@@ -201,12 +209,13 @@ def _rfft_kernel(x_ref, *refs, n2h: int, mode: str, group: int):
 
 
 def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
-    hbm = refs[:6]
-    y_ref = refs[6]
-    qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[7:]
-    _load_tables_once(hbm, (qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
+    hbm = refs[:7]
+    y_ref = refs[7]
+    qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
+    _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
     qr = qr_s[...]
     qi = qi_s[...]
+    qs = qs_s[...]
     ctr = ctr_s[...]
     cti = cti_s[...]
     p1r = p1r_s[...]
@@ -219,8 +228,12 @@ def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
         rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
         pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
-        hr = _dg(pr, qr, _T0, mode) - _dg(pi0, qi, _T0, mode)    # (n1, n2)
-        hi = _dg(pr, qi, _T0, mode) + _dg(pi0, qr, _T0, mode)
+        # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
+        m1 = _dg(pr, qr, _T0, mode)
+        m2 = _dg(pi0, qi, _T0, mode)
+        m3 = _dg(pr + pi0, qs, _T0, mode)
+        hr = m1 - m2                                             # (n1, n2)
+        hi = m3 - m1 - m2
         h2r = hr * ctr - hi * cti
         h2i = hr * cti + hi * ctr
         sr = _dg(p1r, h2r, _MM, mode) - _dg(p1i, h2i, _MM, mode)
@@ -300,11 +313,11 @@ def rfft_packed(x: jax.Array, interpret: bool | None = None,
     pr, pi = pl.pallas_call(
         partial(_rfft_kernel, n2h=n2h, mode=mode or _MODE, group=g),
         grid=(b // g,),
-        in_specs=[in_spec] + _hbm_specs(6),
+        in_specs=[in_spec] + _hbm_specs(7),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, n2h, n1), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM(t.shape, jnp.float32) for t in tables] +
-                       [pltpu.SemaphoreType.DMA((6,))],
+                       [pltpu.SemaphoreType.DMA((7,))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * (4 * n1 * n1 * n2 + 8 * n1 * n2 * rows),
@@ -339,11 +352,11 @@ def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
     y = pl.pallas_call(
         partial(_rifft_kernel, mode=mode or _MODE, group=g),
         grid=(b // g,),
-        in_specs=[in_spec, in_spec] + _hbm_specs(6),
+        in_specs=[in_spec, in_spec] + _hbm_specs(7),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.float32),
         scratch_shapes=[pltpu.VMEM(t.shape, jnp.float32) for t in tables] +
-                       [pltpu.SemaphoreType.DMA((6,))],
+                       [pltpu.SemaphoreType.DMA((7,))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * (8 * n2h * n2 * n1 + 4 * n1 * n1 * n2),
@@ -420,10 +433,11 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
 # -----------------------------------------------------------------------------
 
 def _rfft_stream_kernel(prev_ref, cur_ref, *refs, n2h: int, mode: str):
-    hbm = refs[:6]
-    pr_ref, pi_ref = refs[6:8]
-    f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, sems = refs[8:]
-    _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s), sems)
+    hbm = refs[:7]
+    pr_ref, pi_ref = refs[7:9]
+    f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s, sems = refs[9:]
+    _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s),
+                      sems)
     f1r = f1r_s[...]
     f1i = f1i_s[...]
     n1h = prev_ref.shape[-2]
@@ -435,10 +449,12 @@ def _rfft_stream_kernel(prev_ref, cur_ref, *refs, n2h: int, mode: str):
     twi = twi_s[...]
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
-    f2r = f2r_s[...]
-    f2i = f2i_s[...]
-    er = _dg(f2r, cr, _T2, mode) - _dg(f2i, ci, _T2, mode)
-    ei = _dg(f2r, ci, _T2, mode) + _dg(f2i, cr, _T2, mode)
+    # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
+    m1 = _dg(f2r_s[...], cr, _T2, mode)
+    m2 = _dg(f2i_s[...], ci, _T2, mode)
+    m3 = _dg(f2s_s[...], cr + ci, _T2, mode)
+    er = m1 - m2
+    ei = m3 - m1 - m2
     nyq = er[n2h, 0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
@@ -480,11 +496,11 @@ def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
     pr, pi = pl.pallas_call(
         partial(_rfft_stream_kernel, n2h=n2h, mode=mode or _MODE),
         grid=(b, t),
-        in_specs=[prev_spec, cur_spec] + _hbm_specs(6),
+        in_specs=[prev_spec, cur_spec] + _hbm_specs(7),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, t, n2h, n1), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in tables] +
-                       [pltpu.SemaphoreType.DMA((6,))],
+                       [pltpu.SemaphoreType.DMA((7,))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * t * (4 * n1 * n1 * n2 + 8 * n1 * n2 * rows),
@@ -495,10 +511,10 @@ def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
 
 
 def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str):
-    hbm = refs[:6]
-    y_ref = refs[6]
-    qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[7:]
-    _load_tables_once(hbm, (qr_s, qi_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
+    hbm = refs[:7]
+    y_ref = refs[7]
+    qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
+    _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
     pr = pr_ref[0, 0]
     pi = pi_ref[0, 0]
     x0 = pr[0, 0]
@@ -506,10 +522,12 @@ def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str):
     rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
     pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
-    qr = qr_s[...]
-    qi = qi_s[...]
-    hr = _dg(pr, qr, _T0, mode) - _dg(pi0, qi, _T0, mode)
-    hi = _dg(pr, qi, _T0, mode) + _dg(pi0, qr, _T0, mode)
+    # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
+    m1 = _dg(pr, qr_s[...], _T0, mode)
+    m2 = _dg(pi0, qi_s[...], _T0, mode)
+    m3 = _dg(pr + pi0, qs_s[...], _T0, mode)
+    hr = m1 - m2
+    hi = m3 - m1 - m2
     ctr = ctr_s[...]
     cti = cti_s[...]
     h2r = hr * ctr - hi * cti
@@ -554,11 +572,11 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
     y = pl.pallas_call(
         partial(_rifft_tail_kernel, scale=float(scale), mode=mode or _MODE),
         grid=(b, t),
-        in_specs=[in_spec, in_spec] + _hbm_specs(6),
+        in_specs=[in_spec, in_spec] + _hbm_specs(7),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, n1h, n2), jnp.float32),
         scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in tables] +
-                       [pltpu.SemaphoreType.DMA((6,))],
+                       [pltpu.SemaphoreType.DMA((7,))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * t * (8 * n2h * n2 * n1 + 2 * n1 * n1 * n2),

@@ -120,30 +120,37 @@ def lag_mac_fits(t: int, p: int, bins: int) -> bool:
 
 def _lag_mac_causal_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
                            *, t: int, p: int):
-    """Y_t = sum_p X_{t-1-p} H_p with X unpadded: lag p touches output rows
-    [p+1, t) and input rows [0, t-1-p) — all slice starts static (unrolled)."""
-    shape = (t, yre_ref.shape[-1])
-    acc_re = jnp.zeros(shape, yre_ref.dtype)
-    acc_im = jnp.zeros(shape, yre_ref.dtype)
-    for lag in range(min(p, t - 1)):
-        nv = t - 1 - lag
-        xr = xre_ref[0, 0:nv, :]
-        xi = xim_ref[0, 0:nv, :]
-        hr = hre_ref[0, lag:lag + 1, :]
-        hi = him_ref[0, lag:lag + 1, :]
-        # Front-pad the product to the output length (scatter-add is not
-        # lowerable on Mosaic; a zero-concat is).
-        zpad = jnp.zeros((lag + 1, shape[1]), yre_ref.dtype)
-        acc_re = acc_re + jnp.concatenate([zpad, xr * hr - xi * hi], axis=0)
-        acc_im = acc_im + jnp.concatenate([zpad, xr * hi + xi * hr], axis=0)
-    yre_ref[0, :, :] = acc_re
-    yim_ref[0, :, :] = acc_im
+    """Y_t = sum_p X_{t-1-p} H_p with X unpadded, one output row at a time:
+    row t is an elementwise product of X rows [t-nv, t) against the matching
+    contiguous slice of the REVERSED impulse spectra (rows [p-nv, p)), reduced
+    over the sublane axis. All slice starts are static (loop unrolled) and the
+    live temporaries are constant-size — unlike an accumulator chain of
+    front-padded products, which keeps O(P) temporaries alive and blows the
+    VMEM stack for large partition counts. ``h*_ref`` holds flip(H, hop axis).
+    """
+    width = yre_ref.shape[-1]
+    rows_re = [jnp.zeros((1, width), yre_ref.dtype)]   # row 0 has no valid lag
+    rows_im = [jnp.zeros((1, width), yre_ref.dtype)]
+    for ti in range(1, t):
+        nv = min(p, ti)
+        xr = xre_ref[0, ti - nv:ti, :]
+        xi = xim_ref[0, ti - nv:ti, :]
+        hr = hre_ref[0, p - nv:p, :]
+        hi = him_ref[0, p - nv:p, :]
+        rows_re.append(jnp.sum(xr * hr - xi * hi, axis=0, keepdims=True))
+        rows_im.append(jnp.sum(xr * hi + xi * hr, axis=0, keepdims=True))
+    yre_ref[0, :, :] = jnp.concatenate(rows_re, axis=0)
+    yim_ref[0, :, :] = jnp.concatenate(rows_im, axis=0)
 
 
 def _pick_bin_tile_causal(t: int, p: int, bins: int) -> int:
+    # Mosaic's scoped stack does NOT reuse temporaries across unrolled loop
+    # iterations, so the per-row products accumulate: model the worst case as
+    # 4 arrays x 4 bytes x nv rows summed over all output rows.
+    cum_rows = sum(min(p, ti) for ti in range(1, t))
     tile = min(bins, 8192)
     while tile >= 128:
-        need = 4 * 2 * (2 * t * tile + p * tile + 2 * t * tile)
+        need = 4 * 2 * (2 * t + p + 2 * t) * tile + 16 * cum_rows * tile
         if need <= _VMEM_BUDGET and bins % tile == 0:
             return tile
         tile //= 2
@@ -164,6 +171,10 @@ def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
     tile = _pick_bin_tile_causal(t, p, k)
     if tile == 0:
         raise ValueError("block does not fit VMEM; use the XLA fallback")
+
+    # The kernel pairs X rows with a contiguous slice of the REVERSED spectra.
+    h_re = jnp.flip(h_re, axis=-2)
+    h_im = jnp.flip(h_im, axis=-2)
 
     grid = (c, k // tile)
     kernel = functools.partial(_lag_mac_causal_kernel, t=t, p=p)

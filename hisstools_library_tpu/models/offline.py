@@ -26,9 +26,11 @@ from . import partitioned as part
 
 
 def choose_fft_size(ir_len: int, sig_len: int) -> int:
-    """Pick the uniform FFT size: large enough to keep the partition count small,
-    bounded to the engine's 2^5..2^20 range and to sane frame memory."""
-    target = max(ir_len // 4, 2048)
+    """Pick the uniform FFT size balancing FFT cost (~sqrt(N) per sample on the
+    matmul/Pallas path) against partition-MAC cost (~IR/N per sample), bounded
+    to the engine's 2^5..2^20 range. Empirically N=2^16 wins for ~10 s IRs on
+    v5e (see BASELINE.md sweep)."""
+    target = max(ir_len // 8, 2048)
     n = 1 << max(int(np.ceil(np.log2(target))), 11)
     return int(min(max(n, 1 << part.MIN_FFT_SIZE_LOG2), 1 << 17))
 
@@ -57,6 +59,13 @@ class FastFIR:
     def apply(spectra: Split, x: jax.Array, backend: Optional[str] = None,
               mac_backend: str = "auto") -> jax.Array:
         """Pure function: uniform-partitioned offline convolution with look-ahead."""
+        if backend == "pallas" and mac_backend in ("auto", "pallas"):
+            # Fully-fused chain with the look-ahead folded into its single pad
+            # pass (instead of padding here and again inside).
+            y = part.PartitionedConvolve._process_offline_fused(
+                spectra, x, lookahead=True)
+            if y is not None:
+                return y
         h = spectra.shape[-1]
         L = x.shape[-1]
         pad = [(0, 0)] * (x.ndim - 1) + [(0, h)]

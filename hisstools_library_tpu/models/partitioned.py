@@ -292,7 +292,8 @@ class PartitionedConvolve:
         return out.reshape(*out.shape[:-2], t * h)[..., :L]
 
     @staticmethod
-    def _process_offline_fused(spectra: Split, x: jax.Array) -> Optional[jax.Array]:
+    def _process_offline_fused(spectra: Split, x: jax.Array,
+                               lookahead: bool = False) -> Optional[jax.Array]:
         """Fully fused offline chain: the reference's per-hop staging copies
         (PartitionedConvolve.cpp:304-307), overlap-save discard (:352-377) and
         1/(4N) scale pass (:232-241) all become kernel index arithmetic —
@@ -307,7 +308,11 @@ class PartitionedConvolve:
         n = 2 * h
         p = spectra.shape[-2]
         L = x.shape[-1]
-        t = -(-L // h)
+        # With lookahead the logical signal is x plus one trailing hop of
+        # zeros; the engine's one-hop delay is then removed by dropping the
+        # first output hop — one combined pad pass instead of two.
+        eff = L + h if lookahead else L
+        t = -(-eff // h)
         lags = min(p, t - 1) if t > 1 else 0
         if (not pallas_fft.real_eligible(n) or x.dtype == jnp.float64
                 or lags < 1 or not lag_mac_causal_fits(t, lags, h)):
@@ -315,10 +320,9 @@ class PartitionedConvolve:
         interpret = jax.default_backend() == "cpu"
 
         lead = x.shape[:-1]
-        if L % h:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, h - (L % h))])
-        zeros = jnp.zeros(lead + (h,), x.dtype)
-        x2d = jnp.concatenate([zeros, x], axis=-1).reshape(*lead, t + 1, h)
+        tail = t * h - L
+        x2d = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(h, tail)]
+                      ).reshape(*lead, t + 1, h)
 
         X = Split(*pallas_fft.rfft_packed_stream(x2d))       # (..., T, K)
 
@@ -344,4 +348,7 @@ class PartitionedConvolve:
         yim = yim.reshape(lead + (t, h))
 
         out = pallas_fft.rifft_packed_tail(yre, yim, scale=1.0 / (4.0 * n))
-        return out.reshape(*out.shape[:-2], t * h)[..., :L]
+        out = out.reshape(*out.shape[:-2], t * h)
+        if lookahead:
+            return out[..., h:h + L]
+        return out[..., :L]
