@@ -432,7 +432,8 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
 # slice, no separate scale pass exist in HBM at all.
 # -----------------------------------------------------------------------------
 
-def _rfft_stream_kernel(prev_ref, cur_ref, *refs, n2h: int, mode: str):
+def _rfft_stream_kernel(prevblk_ref, cur_ref, *refs, n2h: int, mode: str,
+                        group: int):
     hbm = refs[:7]
     pr_ref, pi_ref = refs[7:9]
     f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s, sems = refs[9:]
@@ -440,41 +441,70 @@ def _rfft_stream_kernel(prev_ref, cur_ref, *refs, n2h: int, mode: str):
                       sems)
     f1r = f1r_s[...]
     f1i = f1i_s[...]
-    n1h = prev_ref.shape[-2]
-    prev = prev_ref[0]                             # (n1/2, n2): first half-frame
-    cur = cur_ref[0]                               # (n1/2, n2): second half-frame
-    br = _dg(f1r[:, :n1h], prev, _MM, mode) + _dg(f1r[:, n1h:], cur, _MM, mode)
-    bi = _dg(f1i[:, :n1h], prev, _MM, mode) + _dg(f1i[:, n1h:], cur, _MM, mode)
     twr = twr_s[...]
     twi = twi_s[...]
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
-    # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
-    m1 = _dg(f2r_s[...], cr, _T2, mode)
-    m2 = _dg(f2i_s[...], ci, _T2, mode)
-    m3 = _dg(f2s_s[...], cr + ci, _T2, mode)
-    er = m1 - m2
-    ei = m3 - m1 - m2
-    nyq = er[n2h, 0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
-    at00 = (rows == 0) & (cols == 0)
-    pr_ref[0, 0] = er[:n2h, :]
-    pi_ref[0, 0] = jnp.where(at00, nyq, ei[:n2h, :])
+    f2r = f2r_s[...]
+    f2i = f2i_s[...]
+    f2s = f2s_s[...]
+    n1h = cur_ref.shape[-2]
+    # Zero the previous-hop contribution only on the very first hop (t == 0):
+    # the previous group block is clamped there, so its last hop is garbage.
+    first = (pl.program_id(1) == 0)
+    for g in range(group):
+        cur = cur_ref[0, g]                        # (n1/2, n2): second half-frame
+        if g == 0:
+            prev = prevblk_ref[0, group - 1]
+            pm = jnp.where(first, 0.0, 1.0).astype(cur.dtype)
+            br = pm * _dg(f1r[:, :n1h], prev, _MM, mode) + \
+                _dg(f1r[:, n1h:], cur, _MM, mode)
+            bi = pm * _dg(f1i[:, :n1h], prev, _MM, mode) + \
+                _dg(f1i[:, n1h:], cur, _MM, mode)
+        else:
+            prev = cur_ref[0, g - 1]
+            br = _dg(f1r[:, :n1h], prev, _MM, mode) + \
+                _dg(f1r[:, n1h:], cur, _MM, mode)
+            bi = _dg(f1i[:, :n1h], prev, _MM, mode) + \
+                _dg(f1i[:, n1h:], cur, _MM, mode)
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
+        m1 = _dg(f2r, cr, _T2, mode)
+        m2 = _dg(f2i, ci, _T2, mode)
+        m3 = _dg(f2s, cr + ci, _T2, mode)
+        er = m1 - m2
+        ei = m3 - m1 - m2
+        nyq = er[n2h, 0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
+        at00 = (rows == 0) & (cols == 0)
+        pr_ref[0, g] = er[:n2h, :]
+        pi_ref[0, g] = jnp.where(at00, nyq, ei[:n2h, :])
+
+
+def _pick_hop_group(t: int, hop: int, table_bytes: int) -> int:
+    """Hops per grid step: double-buffered io ~32*G*hop bytes + cumulative
+    unrolled temps ~64*G*hop (Mosaic does not reuse across iterations). The
+    bound is tighter to the 16M scoped limit than _VMEM_TARGET — g=4 at
+    hop=32768 (13.9M estimated) compiles and is ~35% faster than g=2."""
+    for g in (8, 4, 2):
+        if t % g == 0 and table_bytes + 96 * g * hop <= 14 * 1024 * 1024:
+            return g
+    return 1
 
 
 def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
                        mode: str | None = None) -> Tuple[jax.Array, jax.Array]:
     """Overlap-save forward: hop-blocked signal -> per-hop packed spectra.
 
-    ``x2d``: (..., M, H) hop blocks (M = T+1; block 0 is the initial history,
-    normally zeros). Returns packed Split planes of shape (..., T, N/2) where
-    N = 2H, equal to rfft([x2d[t], x2d[t+1]]) for each hop t — without ever
-    materialising the concatenated frames.
+    ``x2d``: (..., T, H) hop blocks of the signal itself (no history block).
+    Returns packed Split planes of shape (..., T, N/2) where N = 2H; spectrum t
+    equals rfft([x2d[t-1], x2d[t]]) with x2d[-1] = zeros — the reference's
+    staged [previous | current] frame (PartitionedConvolve.cpp:304-307) without
+    ever materialising it. Several hops are processed per grid step (the
+    previous group's block supplies the overlap for the first frame).
     """
-    m, hop = x2d.shape[-2], x2d.shape[-1]
+    t, hop = x2d.shape[-2], x2d.shape[-1]
     n = 2 * hop
-    t = m - 1
     assert real_eligible(n) and x2d.dtype != jnp.float64
     if interpret is None:
         interpret = _interpret_default()
@@ -485,17 +515,20 @@ def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
     lead = x2d.shape[:-2]
     b = int(np.prod(lead)) if lead else 1
     tables = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
-    x3 = x2d.reshape(b, m * n1h, n2).astype(jnp.float32)
+    table_bytes = sum(int(tb.size) * 4 for tb in tables)
+    g = _pick_hop_group(t, hop, table_bytes)
+    x4 = x2d.reshape(b, t, n1h, n2).astype(jnp.float32)
 
-    prev_spec = pl.BlockSpec((1, n1h, n2), lambda c, i: (c, i, 0),
+    prev_spec = pl.BlockSpec((1, g, n1h, n2),
+                             lambda c, i: (c, jnp.maximum(i - 1, 0), 0, 0),
                              memory_space=pltpu.VMEM)
-    cur_spec = pl.BlockSpec((1, n1h, n2), lambda c, i: (c, i + 1, 0),
+    cur_spec = pl.BlockSpec((1, g, n1h, n2), lambda c, i: (c, i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, n2h, n1), lambda c, i: (c, i, 0, 0),
+    out_spec = pl.BlockSpec((1, g, n2h, n1), lambda c, i: (c, i, 0, 0),
                             memory_space=pltpu.VMEM)
     pr, pi = pl.pallas_call(
-        partial(_rfft_stream_kernel, n2h=n2h, mode=mode or _MODE),
-        grid=(b, t),
+        partial(_rfft_stream_kernel, n2h=n2h, mode=mode or _MODE, group=g),
+        grid=(b, t // g),
         in_specs=[prev_spec, cur_spec] + _hbm_specs(7),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, t, n2h, n1), jnp.float32)] * 2,
@@ -505,40 +538,45 @@ def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
         cost_estimate=pl.CostEstimate(
             flops=b * t * (4 * n1 * n1 * n2 + 8 * n1 * n2 * rows),
             bytes_accessed=b * t * 12 * hop, transcendentals=0),
-    )(x3, x3, *tables)
+    )(x4, x4, *tables)
     kk = n // 2
     return (pr.reshape(*lead, t, kk), pi.reshape(*lead, t, kk))
 
 
-def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str):
+def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str,
+                       group: int):
     hbm = refs[:7]
     y_ref = refs[7]
     qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
     _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
-    pr = pr_ref[0, 0]
-    pi = pi_ref[0, 0]
-    x0 = pr[0, 0]
-    nyq = pi[0, 0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
-    pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
-    # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
-    m1 = _dg(pr, qr_s[...], _T0, mode)
-    m2 = _dg(pi0, qi_s[...], _T0, mode)
-    m3 = _dg(pr + pi0, qs_s[...], _T0, mode)
-    hr = m1 - m2
-    hi = m3 - m1 - m2
+    qr = qr_s[...]
+    qi = qi_s[...]
+    qs = qs_s[...]
     ctr = ctr_s[...]
     cti = cti_s[...]
-    h2r = hr * ctr - hi * cti
-    h2i = hr * cti + hi * ctr
     n1h = y_ref.shape[-2]
     p1r = p1r_s[...]
     p1i = p1i_s[...]
-    sr = _dg(p1r[n1h:, :], h2r, _MM, mode) - _dg(p1i[n1h:, :], h2i, _MM, mode)
-    par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
-    parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
-    y_ref[0, 0] = scale * (2.0 * sr - x0 + nyq * parity)
+    for g in range(group):
+        pr = pr_ref[0, g]
+        pi = pi_ref[0, g]
+        x0 = pr[0, 0]
+        nyq = pi[0, 0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
+        pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
+        # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
+        m1 = _dg(pr, qr, _T0, mode)
+        m2 = _dg(pi0, qi, _T0, mode)
+        m3 = _dg(pr + pi0, qs, _T0, mode)
+        hr = m1 - m2
+        hi = m3 - m1 - m2
+        h2r = hr * ctr - hi * cti
+        h2i = hr * cti + hi * ctr
+        sr = _dg(p1r[n1h:, :], h2r, _MM, mode) - _dg(p1i[n1h:, :], h2i, _MM, mode)
+        par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+        parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
+        y_ref[0, g] = scale * (2.0 * sr - x0 + nyq * parity)
 
 
 def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
@@ -548,7 +586,7 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
 
     ``re``/``im``: (..., T, N/2). Returns (..., T, H) = scale * rifft(X_t)[H:]
     for each hop — the discarded first half is never computed (rows s < n1/2 of
-    stage C are skipped entirely).
+    stage C are skipped entirely), and the scale is folded into the kernel.
     """
     t, nbins = re.shape[-2], re.shape[-1]
     n = nbins * 2
@@ -562,16 +600,19 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
     lead = re.shape[:-2]
     b = int(np.prod(lead)) if lead else 1
     tables = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
+    table_bytes = sum(int(tb.size) * 4 for tb in tables)
+    g = _pick_hop_group(t, hop, table_bytes)
     pr = re.reshape(b, t, n2h, n1).astype(jnp.float32)
     pi = im.reshape(b, t, n2h, n1).astype(jnp.float32)
 
-    in_spec = pl.BlockSpec((1, 1, n2h, n1), lambda c, i: (c, i, 0, 0),
+    in_spec = pl.BlockSpec((1, g, n2h, n1), lambda c, i: (c, i, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, n1h, n2), lambda c, i: (c, i, 0, 0),
+    out_spec = pl.BlockSpec((1, g, n1h, n2), lambda c, i: (c, i, 0, 0),
                             memory_space=pltpu.VMEM)
     y = pl.pallas_call(
-        partial(_rifft_tail_kernel, scale=float(scale), mode=mode or _MODE),
-        grid=(b, t),
+        partial(_rifft_tail_kernel, scale=float(scale), mode=mode or _MODE,
+                group=g),
+        grid=(b, t // g),
         in_specs=[in_spec, in_spec] + _hbm_specs(7),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, n1h, n2), jnp.float32),

@@ -321,8 +321,8 @@ class PartitionedConvolve:
 
         lead = x.shape[:-1]
         tail = t * h - L
-        x2d = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(h, tail)]
-                      ).reshape(*lead, t + 1, h)
+        x2d = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, tail)]
+                      ).reshape(*lead, t, h)
 
         X = Split(*pallas_fft.rfft_packed_stream(x2d))       # (..., T, K)
 

@@ -109,14 +109,15 @@ def test_rfft_stream_and_tail_kernels(rng):
     import jax.numpy as jnp
     from hisstools_library_tpu.fft import pallas_fft
 
-    h, t = 2048, 5
+    h, t = 2048, 6
     n = 2 * h
-    x = rng.standard_normal((2, (t + 1) * h)).astype(np.float32)
-    x2d = jnp.asarray(x.reshape(2, t + 1, h))
+    x = rng.standard_normal((2, t * h)).astype(np.float32)
+    x2d = jnp.asarray(x.reshape(2, t, h))
     sr, si = pallas_fft.rfft_packed_stream(x2d, interpret=True)
-    # oracle: frames [block_t, block_t+1]
-    frames = np.stack([np.concatenate([x.reshape(2, t + 1, h)[:, i],
-                                       x.reshape(2, t + 1, h)[:, i + 1]], axis=-1)
+    # oracle: frames [block_{t-1} (zeros for t=0), block_t]
+    blocks = np.concatenate([np.zeros((2, 1, h), np.float32),
+                             x.reshape(2, t, h)], axis=1)
+    frames = np.stack([np.concatenate([blocks[:, i], blocks[:, i + 1]], axis=-1)
                        for i in range(t)], axis=1)
     fr, fi = pallas_fft.rfft_packed(jnp.asarray(frames), interpret=True)
     np.testing.assert_allclose(np.asarray(sr), np.asarray(fr), atol=2e-2)
