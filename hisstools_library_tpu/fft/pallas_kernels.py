@@ -33,10 +33,13 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _pick_bin_tile(t: int, p: int, bins: int, dtype_bytes: int = 4) -> int:
-    """Largest 128-multiple tile such that X+H+Y blocks fit the VMEM budget."""
-    tile = min(bins, 512)
+    """Largest 128-multiple tile such that X+H+Y blocks plus the cumulative
+    unrolled-lag temporaries (Mosaic's scoped stack does not reuse across
+    unrolled iterations: ~4 product arrays x t rows per lag) fit the budget."""
+    tile = min(bins, 8192)
     while tile >= 128:
         need = dtype_bytes * 2 * ((t + p) * tile + p * tile + 2 * t * tile)
+        need += 16 * p * t * tile
         if need <= _VMEM_BUDGET and bins % tile == 0:
             return tile
         tile //= 2
@@ -44,18 +47,20 @@ def _pick_bin_tile(t: int, p: int, bins: int, dtype_bytes: int = 4) -> int:
 
 
 def _lag_mac_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
-                    *, t: int, p: int):
+                    *, t: int, p: int, skip: int):
     """One (channel, bin-tile) block: accumulate all P lags in VMEM.
 
     The lag loop is unrolled in Python so every sliding-window slice has a
     *static* start — Mosaic cannot prove alignment for dynamic sublane offsets,
-    but lowers static unaligned slices fine.
+    but lowers static unaligned slices fine. ``skip`` ignores that many leading
+    rows of the spectra block (callers whose forward transform emits an unused
+    leading spectrum avoid slicing it off in HBM).
     """
     shape = (t, yre_ref.shape[-1])
     acc_re = jnp.zeros(shape, yre_ref.dtype)
     acc_im = jnp.zeros(shape, yre_ref.dtype)
     for lag in range(p):
-        start = p - 1 - lag
+        start = skip + p - 1 - lag
         xr = xre_ref[0, start:start + t, :]
         xi = xim_ref[0, start:start + t, :]
         hr = hre_ref[0, lag:lag + 1, :]
@@ -68,23 +73,25 @@ def _lag_mac_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
 
 def lag_mac(xpad_re: jax.Array, xpad_im: jax.Array,
             h_re: jax.Array, h_im: jax.Array, t: int,
-            interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+            interpret: bool = False, lead_skip: int = 0
+            ) -> Tuple[jax.Array, jax.Array]:
     """Fused partition MAC over zero-padded spectra.
 
-    ``xpad_*``: (C, T+P, K) — X_t at index t+P (P zeros in front).
+    ``xpad_*``: (C, S+T+P, K) — X_t at index lead_skip+t+P (P zeros — or halo
+    history — in front, ``lead_skip`` ignored leading rows).
     ``h_*``:    (C, P, K) partition spectra.
     Returns (C, T, K) accumulated products (generic complex multiply; the packed
     bin-0 lanes must be fixed by the caller).
     """
     c, tp, k = xpad_re.shape
     p = h_re.shape[-2]
-    assert tp == t + p, (tp, t, p)
+    assert tp == lead_skip + t + p, (tp, lead_skip, t, p)
     tile = _pick_bin_tile(t, p, k)
     if tile == 0:
         raise ValueError("block does not fit VMEM; use the XLA fallback")
 
     grid = (c, k // tile)
-    kernel = functools.partial(_lag_mac_kernel, t=t, p=p)
+    kernel = functools.partial(_lag_mac_kernel, t=t, p=p, skip=lead_skip)
     x_spec = pl.BlockSpec((1, tp, tile), lambda ci, ki: (ci, 0, ki),
                           memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, p, tile), lambda ci, ki: (ci, 0, ki),

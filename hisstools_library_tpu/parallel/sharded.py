@@ -43,10 +43,15 @@ def _section_local(spectra: Split, x_local: jax.Array, fft_size: int,
     # Halo: (P + 1) hops of raw input history from the left neighbours.
     halo = (p + 1) * h
     x_ext = left_halo(x_local, halo, axis=x_local.ndim - 1, axis_name=BLOCK_AXIS)
-
-    # Frames for local hops tau in [-P, t_loc): frame tau = x[(tau-1)h : (tau+1)h].
     t_ext = t_loc + p
     blocks = x_ext.reshape(*lead, t_ext + 1, h)
+
+    if backend == "pallas":
+        y = _section_local_fused(spectra, blocks, fft_size, t_loc)
+        if y is not None:
+            return y.reshape(*lead, L)
+
+    # Frames for local hops tau in [-P, t_loc): frame tau = x[(tau-1)h : (tau+1)h].
     frames = jnp.concatenate([blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
     X = Split(*fft_api.rfft(frames, backend=backend))  # (..., t_ext, bins)
 
@@ -63,6 +68,71 @@ def _section_local(spectra: Split, x_local: jax.Array, fft_size: int,
 
     y = fft_api.rifft(acc_re, acc_im, backend=backend) * (1.0 / (4.0 * fft_size))
     return y[..., h:].reshape(*lead, L)
+
+
+def _section_local_fused(spectra: Split, blocks: jax.Array, fft_size: int,
+                         t_loc: int) -> Optional[jax.Array]:
+    """Fused-kernel variant of the local section (same three-kernel chain as
+    PartitionedConvolve._process_offline_fused, but over halo-extended hops):
+    streaming rFFT over the extended blocks, padded-window lag MAC with the
+    unused leading spectrum skipped in-kernel, tail riFFT. Runs per shard
+    inside shard_map — the Pallas kernels see only local data."""
+    from ..fft import pallas_fft
+    from ..fft.pallas_kernels import lag_mac, lag_mac_fits
+
+    h = fft_size >> 1
+    n = fft_size
+    p = spectra.shape[-2]
+    lead = blocks.shape[:-2]
+    if (not pallas_fft.real_eligible(n) or blocks.dtype == jnp.float64
+            or not lag_mac_fits(t_loc, p, h)):
+        return None
+    interpret = jax.default_backend() == "cpu"
+
+    # Stream spectra over all t_ext+1 extended hops; index j is the frame
+    # [block j-1, block j], so index 0 (zero history) is unused garbage and
+    # X_staged[i] = stream[i + 1] — skipped inside the MAC kernel.
+    Xr, Xi = pallas_fft.rfft_packed_stream(blocks)
+
+    c = int(np.prod(lead)) if lead else 1
+    t_rows = blocks.shape[-2]                       # t_ext + 1
+    xr = Xr.reshape(c, t_rows, h)
+    xi = Xi.reshape(c, t_rows, h)
+    hr = jnp.broadcast_to(spectra.re, lead + (p, h)).reshape(c, p, h)
+    hi = jnp.broadcast_to(spectra.im, lead + (p, h)).reshape(c, p, h)
+    hr = hr.astype(xr.dtype)
+    hi = hi.astype(xr.dtype)
+    yre, yim = lag_mac(xr, xi, hr, hi, t_loc, interpret=interpret, lead_skip=1)
+
+    # Packed DC/Nyquist lane fix (global bin 0): two real sliding-window MACs.
+    idx = 1 + np.arange(t_loc)[:, None] + (p - 1) - np.arange(p)[None, :]
+    y0re = jnp.einsum("ctp,cp->ct", xr[:, :, 0][:, idx], hr[:, :, 0])
+    y0im = jnp.einsum("ctp,cp->ct", xi[:, :, 0][:, idx], hi[:, :, 0])
+    yre = yre.at[:, :, 0].set(y0re)
+    yim = yim.at[:, :, 0].set(y0im)
+    yre = yre.reshape(lead + (t_loc, h))
+    yim = yim.reshape(lead + (t_loc, h))
+
+    out = pallas_fft.rifft_packed_tail(yre, yim, scale=1.0 / (4.0 * n))
+    return out.reshape(*lead, t_loc * h)
+
+
+def _validate_sharded_shape(mesh: Mesh, scheme: mono_mod.PartitionScheme,
+                            x: jax.Array) -> None:
+    """Fail early with a clear message instead of a reshape error deep inside
+    the per-shard section code."""
+    blocks = mesh.shape[BLOCK_AXIS]
+    channels = mesh.shape[CHANNEL_AXIS]
+    quantum = blocks * (scheme.sizes[-1] >> 1)
+    if x.shape[-1] % quantum:
+        raise ValueError(
+            f"signal length {x.shape[-1]} must be a multiple of "
+            f"block-axis x largest hop = {blocks} x {scheme.sizes[-1] >> 1} "
+            f"= {quantum}; pad the signal first")
+    if x.ndim >= 2 and x.shape[0] % channels:
+        raise ValueError(
+            f"channel count {x.shape[0]} must be divisible by the channel "
+            f"mesh axis ({channels})")
 
 
 def _head_local(taps: jax.Array, x_local: jax.Array) -> jax.Array:
@@ -95,15 +165,19 @@ def scheme_offline_sharded(mesh: Mesh, scheme: mono_mod.PartitionScheme,
     sharding as x.
     """
     sizes = tuple(plan.fft_size for plan in scheme.sections())
+    _validate_sharded_shape(mesh, scheme, x)
     fn = partial(_scheme_local, scheme_sizes=sizes, backend=backend)
 
     def local(ir_local, x_local):
         return fn(ir_local, x_local=x_local)
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata, which the default vma check rejects inside shard_map.
     shard_fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(CHANNEL_AXIS), P(CHANNEL_AXIS, BLOCK_AXIS)),
         out_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+        check_vma=False,
     )
     return shard_fn(ir, x)
 
@@ -115,6 +189,7 @@ def n_to_one_offline(mesh: Mesh, scheme: mono_mod.PartitionScheme,
     channel sum reduces with ``psum`` over the channel axis (the sharded analogue
     of NToMonoConvolve's accumulate loop). x: (N, L) -> (L,)."""
     sizes = tuple(plan.fft_size for plan in scheme.sections())
+    _validate_sharded_shape(mesh, scheme, x)
 
     def local(ir_local, x_local):
         y = _scheme_local(ir_local, sizes, x_local, backend=backend)
@@ -124,5 +199,6 @@ def n_to_one_offline(mesh: Mesh, scheme: mono_mod.PartitionScheme,
         local, mesh=mesh,
         in_specs=(P(CHANNEL_AXIS), P(CHANNEL_AXIS, BLOCK_AXIS)),
         out_specs=P(BLOCK_AXIS),
+        check_vma=False,
     )
     return shard_fn(ir, x)

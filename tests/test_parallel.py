@@ -124,3 +124,20 @@ def test_long_ir_halo_beyond_one_device(rng):
     y = np.asarray(scheme_offline_sharded(mesh, scheme, ir, jnp.asarray(x)[None, :]))
     ref = np.convolve(x, irs)[:L]
     assert snr_db(ref, y[0]) > 180
+
+
+def test_sharded_pallas_fused_matches_single_device(rng):
+    """backend="pallas" inside shard_map (fused stream/MAC/tail kernels per
+    shard) == single-device staged engine."""
+    mesh = make_mesh(channel=2, block=4)
+    scheme = PartitionScheme((4096,), zero_latency=False)
+    hop = 2048
+    C, L = 4, hop * 4 * 2   # 2 hops per block shard
+    x = rng.standard_normal((C, L)).astype(np.float32)
+    irs = (rng.standard_normal((C, 3 * hop + 100)) * 0.2).astype(np.float32)
+    ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32)
+
+    y_sharded = scheme_offline_sharded(mesh, scheme, ir, jnp.asarray(x),
+                                       backend="pallas")
+    y_single = mono.process_offline(ir, jnp.asarray(x))
+    assert snr_db(y_single, y_sharded) > 90.0
