@@ -25,6 +25,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,6 +47,23 @@ def _pick_bin_tile(t: int, p: int, bins: int, dtype_bytes: int = 4) -> int:
     return 0
 
 
+def _bin0_mask(width: int):
+    """Lane mask for the packed DC/Nyquist bin: true only in column 0 of the
+    k-tile that holds global bin 0 (grid dim 1 is the bin-tile index)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    return (cols == 0) & (pl.program_id(1) == 0)
+
+
+def _packed_products(xr, xi, hr, hi, mask):
+    """Complex product per bin with the packed bin-0 lanes handled in place:
+    DC and Nyquist are real and multiply independently (re*re, im*im) —
+    reference processPartition's special-casing (PartitionedConvolve.cpp:
+    387-426) as a lane select instead of a caller-side fix-up pass."""
+    pre = jnp.where(mask, xr * hr, xr * hr - xi * hi)
+    pim = jnp.where(mask, xi * hi, xr * hi + xi * hr)
+    return pre, pim
+
+
 def _lag_mac_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
                     *, t: int, p: int, skip: int):
     """One (channel, bin-tile) block: accumulate all P lags in VMEM.
@@ -57,6 +75,7 @@ def _lag_mac_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
     leading spectrum avoid slicing it off in HBM).
     """
     shape = (t, yre_ref.shape[-1])
+    mask = _bin0_mask(shape[1])
     acc_re = jnp.zeros(shape, yre_ref.dtype)
     acc_im = jnp.zeros(shape, yre_ref.dtype)
     for lag in range(p):
@@ -65,8 +84,9 @@ def _lag_mac_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
         xi = xim_ref[0, start:start + t, :]
         hr = hre_ref[0, lag:lag + 1, :]
         hi = him_ref[0, lag:lag + 1, :]
-        acc_re = acc_re + (xr * hr - xi * hi)
-        acc_im = acc_im + (xr * hi + xi * hr)
+        pre, pim = _packed_products(xr, xi, hr, hi, mask)
+        acc_re = acc_re + pre
+        acc_im = acc_im + pim
     yre_ref[0, :, :] = acc_re
     yim_ref[0, :, :] = acc_im
 
@@ -80,8 +100,8 @@ def lag_mac(xpad_re: jax.Array, xpad_im: jax.Array,
     ``xpad_*``: (C, S+T+P, K) — X_t at index lead_skip+t+P (P zeros — or halo
     history — in front, ``lead_skip`` ignored leading rows).
     ``h_*``:    (C, P, K) partition spectra.
-    Returns (C, T, K) accumulated products (generic complex multiply; the packed
-    bin-0 lanes must be fixed by the caller).
+    Returns (C, T, K) packed-correct accumulations (the DC/Nyquist lane is
+    special-cased inside the kernel).
     """
     c, tp, k = xpad_re.shape
     p = h_re.shape[-2]
@@ -125,27 +145,43 @@ def lag_mac_fits(t: int, p: int, bins: int) -> bool:
 # offsets, so the caller never materialises a zero-padded spectra array.
 # -----------------------------------------------------------------------------
 
-def _lag_mac_causal_kernel(xre_ref, xim_ref, hre_ref, him_ref, yre_ref, yim_ref,
-                           *, t: int, p: int):
+def _lag_mac_causal_kernel(xre_ref, xim_ref, hre_ref, him_ref, exch_ref,
+                           yre_ref, yim_ref, *, t: int, p: int):
     """Y_t = sum_p X_{t-1-p} H_p with X unpadded, one output row at a time:
     row t is an elementwise product of X rows [t-nv, t) against the matching
-    contiguous slice of the REVERSED impulse spectra (rows [p-nv, p)), reduced
+    contiguous slice of the reversed impulse spectra (rows [p-nv, p)), reduced
     over the sublane axis. All slice starts are static (loop unrolled) and the
     live temporaries are constant-size — unlike an accumulator chain of
     front-padded products, which keeps O(P) temporaries alive and blows the
-    VMEM stack for large partition counts. ``h*_ref`` holds flip(H, hop axis).
+    VMEM stack for large partition counts.
+
+    The reversal happens in-kernel as an exact exchange-matrix matmul
+    (Mosaic cannot lower `rev`; an XLA-side flip would cost a full HBM pass
+    over the spectra every call). The packed DC/Nyquist lane is special-cased
+    in place (see _packed_products).
     """
     width = yre_ref.shape[-1]
+    exch = exch_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    # HIGHEST keeps the 0/1-coefficient permutation matmul exact for f32.
+    hre = jax.lax.dot_general(exch, hre_ref[0], dn,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    him = jax.lax.dot_general(exch, him_ref[0], dn,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    mask = _bin0_mask(width)
     rows_re = [jnp.zeros((1, width), yre_ref.dtype)]   # row 0 has no valid lag
     rows_im = [jnp.zeros((1, width), yre_ref.dtype)]
     for ti in range(1, t):
         nv = min(p, ti)
         xr = xre_ref[0, ti - nv:ti, :]
         xi = xim_ref[0, ti - nv:ti, :]
-        hr = hre_ref[0, p - nv:p, :]
-        hi = him_ref[0, p - nv:p, :]
-        rows_re.append(jnp.sum(xr * hr - xi * hi, axis=0, keepdims=True))
-        rows_im.append(jnp.sum(xr * hi + xi * hr, axis=0, keepdims=True))
+        hr = hre[p - nv:p, :]
+        hi = him[p - nv:p, :]
+        pre, pim = _packed_products(xr, xi, hr, hi, mask)
+        rows_re.append(jnp.sum(pre, axis=0, keepdims=True))
+        rows_im.append(jnp.sum(pim, axis=0, keepdims=True))
     yre_ref[0, :, :] = jnp.concatenate(rows_re, axis=0)
     yim_ref[0, :, :] = jnp.concatenate(rows_im, axis=0)
 
@@ -169,9 +205,9 @@ def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Fused partition MAC over UNPADDED spectra.
 
-    ``x_*``: (C, T, K) hop spectra X_0..X_{T-1}; ``h_*``: (C, P, K).
-    Returns (C, T, K): Y_t = sum_p X_{t-1-p} * H_p (generic complex multiply;
-    the packed bin-0 lane must be fixed by the caller). Row 0 is always zero.
+    ``x_*``: (C, T, K) hop spectra X_0..X_{T-1}; ``h_*``: (C, P, K) in natural
+    order (reversal happens in-kernel). Returns (C, T, K) packed-correct
+    accumulations Y_t = sum_p X_{t-1-p} * H_p. Row 0 is always zero.
     """
     c, t, k = x_re.shape
     p = h_re.shape[-2]
@@ -179,9 +215,7 @@ def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
     if tile == 0:
         raise ValueError("block does not fit VMEM; use the XLA fallback")
 
-    # The kernel pairs X rows with a contiguous slice of the REVERSED spectra.
-    h_re = jnp.flip(h_re, axis=-2)
-    h_im = jnp.flip(h_im, axis=-2)
+    exch = jnp.asarray(np.eye(p, dtype=np.float32)[::-1].copy())
 
     grid = (c, k // tile)
     kernel = functools.partial(_lag_mac_causal_kernel, t=t, p=p)
@@ -189,12 +223,14 @@ def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
                           memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, p, tile), lambda ci, ki: (ci, 0, ki),
                           memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((p, p), lambda ci, ki: (0, 0),
+                          memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((c, t, k), x_re.dtype)] * 2
 
     yre, yim = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[x_spec, x_spec, h_spec, h_spec],
+        in_specs=[x_spec, x_spec, h_spec, h_spec, e_spec],
         out_specs=[x_spec, x_spec],
         out_shape=out_shape,
         interpret=interpret,
@@ -203,7 +239,7 @@ def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
             bytes_accessed=8 * c * k * (2 * t + p),
             transcendentals=0,
         ),
-    )(x_re, x_im, h_re, h_im)
+    )(x_re, x_im, h_re, h_im, exch)
     return yre, yim
 
 

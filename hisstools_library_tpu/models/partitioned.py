@@ -106,13 +106,8 @@ def _lag_mac_dispatch(xp_re, xp_im, h_re, h_im, t: int, mac_backend: str):
         xi = xp_im.reshape(c, t + p, bins)
         hr = jnp.broadcast_to(h_re, lead + (p, bins)).reshape(c, p, bins)
         hi = jnp.broadcast_to(h_im, lead + (p, bins)).reshape(c, p, bins)
+        # Packed-correct MAC (DC/Nyquist lane special-cased inside the kernel).
         yre, yim = lag_mac(xr, xi, hr, hi, t, interpret=on_cpu)
-        # Fix the packed DC/Nyquist lane (global bin 0): two real MACs.
-        idx = np.arange(t)[:, None] + (p - 1) - np.arange(p)[None, :]  # (T, P)
-        y0re = jnp.einsum("ctp,cp->ct", xr[:, :, 0][:, idx], hr[:, :, 0])
-        y0im = jnp.einsum("ctp,cp->ct", xi[:, :, 0][:, idx], hi[:, :, 0])
-        yre = yre.at[:, :, 0].set(y0re)
-        yim = yim.at[:, :, 0].set(y0im)
         return yre.reshape(lead + (t, bins)), yim.reshape(lead + (t, bins))
 
     # XLA fallback: fori_loop keeps one accumulator and one sliding window live.
@@ -333,17 +328,8 @@ class PartitionedConvolve:
         hi = jnp.broadcast_to(spectra.im[..., :lags, :], lead + (lags, h))
         hr = hr.reshape(c, lags, h).astype(xr.dtype)
         hi = hi.reshape(c, lags, h).astype(xr.dtype)
+        # Packed-correct MAC (DC/Nyquist lane special-cased inside the kernel).
         yre, yim = lag_mac_causal(xr, xi, hr, hi, interpret=interpret)
-
-        # Fix the packed DC/Nyquist lane (global bin 0): two real causal MACs.
-        idx = np.arange(t)[:, None] - 1 - np.arange(lags)[None, :]   # (T, P)
-        valid = idx >= 0
-        idxc = np.where(valid, idx, 0)
-        mask = jnp.asarray(valid, xr.dtype)
-        y0re = jnp.einsum("ctp,tp,cp->ct", xr[:, :, 0][:, idxc], mask, hr[:, :, 0])
-        y0im = jnp.einsum("ctp,tp,cp->ct", xi[:, :, 0][:, idxc], mask, hi[:, :, 0])
-        yre = yre.at[:, :, 0].set(y0re)
-        yim = yim.at[:, :, 0].set(y0im)
         yre = yre.reshape(lead + (t, h))
         yim = yim.reshape(lead + (t, h))
 

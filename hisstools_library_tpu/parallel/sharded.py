@@ -102,14 +102,8 @@ def _section_local_fused(spectra: Split, blocks: jax.Array, fft_size: int,
     hi = jnp.broadcast_to(spectra.im, lead + (p, h)).reshape(c, p, h)
     hr = hr.astype(xr.dtype)
     hi = hi.astype(xr.dtype)
+    # Packed-correct MAC (DC/Nyquist lane special-cased inside the kernel).
     yre, yim = lag_mac(xr, xi, hr, hi, t_loc, interpret=interpret, lead_skip=1)
-
-    # Packed DC/Nyquist lane fix (global bin 0): two real sliding-window MACs.
-    idx = 1 + np.arange(t_loc)[:, None] + (p - 1) - np.arange(p)[None, :]
-    y0re = jnp.einsum("ctp,cp->ct", xr[:, :, 0][:, idx], hr[:, :, 0])
-    y0im = jnp.einsum("ctp,cp->ct", xi[:, :, 0][:, idx], hi[:, :, 0])
-    yre = yre.at[:, :, 0].set(y0re)
-    yim = yim.at[:, :, 0].set(y0im)
     yre = yre.reshape(lead + (t_loc, h))
     yim = yim.reshape(lead + (t_loc, h))
 
