@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Convolve an audio file with an impulse response on TPU.
+
+The end-user workflow the reference library serves (HIRT: apply a measured room
+IR / reverb to a recording) as a command-line tool over this framework's full
+stack: audio-file I/O (io/audio_file.py) -> fused Pallas convolution engine
+(models/offline.py) -> audio-file output.
+
+    python tools/convolve_wav.py input.wav ir.wav output.wav
+    python tools/convolve_wav.py input.wav ir.wav out.wav --wet 0.4 --engine scheme
+
+Channels: a mono IR applies to every input channel; a multichannel IR applies
+channel-per-channel (counts must then match). The tail (len(ir)-1 samples) is
+rendered unless --trim. Output is peak-normalised only if it would clip
+(--normalize forces it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def read_wav(path):
+    from hisstools_library_tpu.io import IAudioFile, get_error_string
+
+    with IAudioFile(path) as f:
+        if f.get_is_error():
+            msgs = "; ".join(get_error_string(e) for e in f.get_errors())
+            raise SystemExit(f"{path}: {msgs}")
+        data = f.read_interleaved()            # (frames, channels) float
+        return np.asarray(data, np.float32).T, f.sampling_rate
+
+
+def write_wav(path, x, sr, pcm="float32"):
+    from hisstools_library_tpu.io import FileType, OAudioFile, PCMFormat
+
+    fmt = {"int16": PCMFormat.Int16, "int24": PCMFormat.Int24,
+           "float32": PCMFormat.Float32}[pcm]
+    with OAudioFile(path, FileType.WAVE, fmt, x.shape[0], float(sr)) as f:
+        f.write_interleaved(np.asarray(x, np.float64).T)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("input")
+    ap.add_argument("ir")
+    ap.add_argument("output")
+    ap.add_argument("--engine", choices=("fast", "scheme"), default="fast",
+                    help="fast = fused uniform-partition offline engine; "
+                         "scheme = zero-latency non-uniform scheme (reference "
+                         "kLatencyZero semantics)")
+    ap.add_argument("--wet", type=float, default=1.0,
+                    help="wet/dry mix: 1.0 = fully convolved")
+    ap.add_argument("--trim", action="store_true",
+                    help="cut the output at the input length (no reverb tail)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="always peak-normalise to -1 dBFS")
+    ap.add_argument("--pcm", choices=("int16", "int24", "float32"),
+                    default="float32")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    x, sr = read_wav(args.input)
+    ir, ir_sr = read_wav(args.ir)
+    if abs(sr - ir_sr) > 1e-6:
+        print(f"warning: sample-rate mismatch ({sr} vs {ir_sr}); "
+              "convolving anyway", file=sys.stderr)
+
+    cx, L = x.shape
+    cir = ir.shape[0]
+    if cir == 1 and cx > 1:
+        ir = np.broadcast_to(ir, (cx, ir.shape[1]))
+    elif cir != cx and cir > 1:
+        raise SystemExit(f"channel mismatch: input {cx}, IR {cir}")
+
+    out_len = L if args.trim else L + ir.shape[1] - 1
+    pad = out_len - L
+    xs = np.pad(x, ((0, 0), (0, pad))).astype(np.float32)
+
+    t0 = time.time()
+    if args.engine == "fast":
+        from hisstools_library_tpu.models.offline import fast_fir
+        y = fast_fir(jnp.asarray(xs), ir, backend="pallas")
+    else:
+        from hisstools_library_tpu.models import mono
+        from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+        scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+        hop = scheme.sizes[-1] >> 1
+        if xs.shape[-1] % hop:
+            xs = np.pad(xs, ((0, 0), (0, hop - xs.shape[-1] % hop)))
+        prep = mono.prepare_ir(scheme, ir, dtype=jnp.float32)
+        y = mono.process_offline(prep, jnp.asarray(xs), backend="pallas")
+    y = np.asarray(y)[:, :out_len]
+    dt = time.time() - t0
+    rate = cx * out_len / max(dt, 1e-9) / (cx * sr)
+    print(f"convolved {cx} ch x {out_len} frames in {dt:.2f}s "
+          f"({rate:.0f}x real-time incl. transfers)", file=sys.stderr)
+
+    if args.wet != 1.0:
+        dry = np.pad(x, ((0, 0), (0, pad)))
+        y = args.wet * y + (1.0 - args.wet) * dry
+
+    peak = float(np.abs(y).max()) or 1.0
+    if args.normalize or peak > 1.0:
+        y = y * (10 ** (-1 / 20) / peak)
+        print(f"normalised (peak was {peak:.3f})", file=sys.stderr)
+
+    write_wav(args.output, y, sr, args.pcm)
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
