@@ -35,6 +35,7 @@ import numpy as np
 
 from ..core.errors import ConvolveError, ConvolveException
 from ..core.types import Split
+from ..fft import api as fft_api
 from . import partitioned as part
 from . import time_domain as td
 
@@ -242,12 +243,49 @@ def process(ir: MonoIR, state: MonoState, x: jax.Array,
     return MonoState(head_state, tuple(new_sections)), out
 
 
+# Sections at or below this FFT size run as direct MXU FIR in offline mode: a
+# few-thousand-tap depthwise conv (implicit GEMM) beats tiny-FFT overlap-save
+# with thousands of hops on TPU. Threshold covers the 256/1024 scheme sections.
+_DIRECT_SECTION_MAX_FFT = 1024
+_DIRECT_SECTION_MAX_TAPS = 4096
+
+
+def _section_offline_direct(spec: Split, x: jax.Array) -> jax.Array:
+    """One small section evaluated as a direct FIR instead of overlap-save.
+
+    The section's streaming semantics (partitioned.py header): it emits IR
+    window tap m at absolute delay H + m, H = hop. Equivalent direct form:
+    causal FIR with H zero taps followed by the window — the window itself
+    reconstructed from the partition spectra (rifft(rfft(c)) = 2N c), so no
+    extra state is carried in MonoIR.
+    """
+    h = spec.shape[-1]
+    n = 2 * h
+    chunks = fft_api.rifft(spec.re, spec.im) * (1.0 / (2.0 * n))  # (..., P, N)
+    lead = spec.re.shape[:-2]
+    window = chunks[..., :h].reshape(*lead, spec.shape[-2] * h)
+    taps = jnp.concatenate(
+        [jnp.zeros(lead + (h,), window.dtype), window], axis=-1)
+    return td.fir_offline(x, taps).astype(x.dtype)
+
+
 def process_offline(ir: MonoIR, x: jax.Array,
                     backend: Optional[str] = None) -> jax.Array:
-    """Whole-signal convolution through the scheme with no sequential scan."""
+    """Whole-signal convolution through the scheme with no sequential scan.
+
+    Small sections run as direct MXU FIRs (see _section_offline_direct); large
+    sections use partitioned overlap-save (fused Pallas chain when
+    backend="pallas")."""
     out = jnp.zeros_like(x)
     if ir.head_taps.shape[-1]:
         out = out + td.fir_offline(x, ir.head_taps)
     for spec in ir.spectra:
-        out = out + part.PartitionedConvolve.process_offline(spec, x, backend=backend)
+        h = spec.shape[-1]
+        p = spec.shape[-2]
+        if 2 * h <= _DIRECT_SECTION_MAX_FFT and \
+                h * (p + 1) <= _DIRECT_SECTION_MAX_TAPS:
+            out = out + _section_offline_direct(spec, x)
+        else:
+            out = out + part.PartitionedConvolve.process_offline(
+                spec, x, backend=backend)
     return out

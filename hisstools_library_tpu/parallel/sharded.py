@@ -138,13 +138,35 @@ def _head_local(taps: jax.Array, x_local: jax.Array) -> jax.Array:
     return td.fir_offline(x_ext, taps)[..., t - 1:]
 
 
+def _section_local_direct(spec: Split, x_local: jax.Array) -> jax.Array:
+    """Small section as a direct MXU FIR over the halo-extended shard
+    (mirrors mono._section_offline_direct; halo = taps - 1 raw samples)."""
+    h = spec.shape[-1]
+    n = 2 * h
+    chunks = fft_api.rifft(spec.re, spec.im) * (1.0 / (2.0 * n))
+    lead = spec.re.shape[:-2]
+    window = chunks[..., :h].reshape(*lead, spec.shape[-2] * h)
+    taps = jnp.concatenate(
+        [jnp.zeros(lead + (h,), window.dtype), window], axis=-1)
+    t_total = taps.shape[-1]
+    x_ext = left_halo(x_local, t_total - 1, axis=x_local.ndim - 1,
+                      axis_name=BLOCK_AXIS)
+    return td.fir_offline(x_ext, taps)[..., t_total - 1:].astype(x_local.dtype)
+
+
 def _scheme_local(ir: mono_mod.MonoIR, scheme_sizes: Tuple[int, ...],
                   x_local: jax.Array, backend: Optional[str] = None) -> jax.Array:
     out = jnp.zeros_like(x_local)
     if ir.head_taps.shape[-1]:
         out = out + _head_local(ir.head_taps, x_local)
     for spec, fft_size in zip(ir.spectra, scheme_sizes):
-        out = out + _section_local(spec, x_local, fft_size, backend=backend)
+        h = spec.shape[-1]
+        p = spec.shape[-2]
+        if fft_size <= mono_mod._DIRECT_SECTION_MAX_FFT and \
+                h * (p + 1) <= mono_mod._DIRECT_SECTION_MAX_TAPS:
+            out = out + _section_local_direct(spec, x_local)
+        else:
+            out = out + _section_local(spec, x_local, fft_size, backend=backend)
     return out
 
 
