@@ -131,16 +131,25 @@ class MonoState:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class MonoIR:
-    """Device-resident prepared impulse: head taps + per-section spectra."""
+    """Device-resident prepared impulse: head taps + per-section spectra.
+
+    ``tail``/``tail_shift`` (optional, built by :func:`prepare_ir`) hold the
+    IR's large-section remainder re-partitioned at the offline-optimal uniform
+    FFT size: offline processing replaces every section above the direct-FIR
+    threshold with this single throughput-tuned engine, realigned by dropping
+    ``tail_shift`` leading output samples. Streaming ignores them — the
+    latency-bounded sections remain the real-time path."""
     head_taps: jax.Array
     spectra: Tuple[Split, ...]
+    tail: Optional[Split] = None
+    tail_shift: int = 0
 
     def tree_flatten(self):
-        return (self.head_taps, self.spectra), None
+        return (self.head_taps, self.spectra, self.tail), (self.tail_shift,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(children[0], children[1], children[2], aux[0])
 
 
 class MonoConvolve:
@@ -199,8 +208,14 @@ class MonoConvolve:
 # -- pure functional API ---------------------------------------------------------
 
 def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
-               dtype=jnp.float32, backend: Optional[str] = None) -> MonoIR:
-    """Build the device-resident IR pytree for a scheme. ``ir``: (..., L)."""
+               dtype=jnp.float32, backend: Optional[str] = None,
+               offline_tail: bool = True) -> MonoIR:
+    """Build the device-resident IR pytree for a scheme. ``ir``: (..., L).
+
+    With ``offline_tail`` (default) the remainder of the IR past the direct-FIR
+    sections is additionally partitioned at the offline-optimal uniform FFT
+    size, so :func:`process_offline` runs it as one throughput-tuned engine
+    instead of the latency-bounded large sections."""
     ir = np.asarray(ir)
     head = td.make_taps(ir, 0, scheme.head_taps) if scheme.head_taps else \
         np.zeros(ir.shape[:-1] + (0,), ir.dtype)
@@ -208,7 +223,24 @@ def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
     for plan in scheme.sections():
         spectra.append(part.impulse_spectra(
             ir, plan.fft_size, plan.offset, plan.length, dtype, backend))
-    return MonoIR(jnp.asarray(head, dtype), tuple(spectra))
+
+    # Offline, the whole section stack past the TD head is a single
+    # convolution with ir[first_offset:] — one throughput-optimal uniform
+    # engine replaces every section (the non-uniform sizes only exist to
+    # bound streaming latency).
+    tail = None
+    tail_shift = 0
+    if offline_tail:
+        o = scheme.sections()[0].offset
+        if ir.shape[-1] > o:
+            from .offline import choose_fft_size
+            tail_len = ir.shape[-1] - o
+            nprime = choose_fft_size(tail_len, tail_len)
+            shift = (nprime >> 1) - o - scheme.latency
+            if shift >= 0:
+                tail = part.impulse_spectra(ir, nprime, o, 0, dtype, backend)
+                tail_shift = shift
+    return MonoIR(jnp.asarray(head, dtype), tuple(spectra), tail, tail_shift)
 
 
 def init_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),
@@ -250,6 +282,15 @@ _DIRECT_SECTION_MAX_FFT = 1024
 _DIRECT_SECTION_MAX_TAPS = 4096
 
 
+def _direct_eligible(fft_size: int, partitions: int) -> bool:
+    """Shared predicate for the offline direct-FIR path (prepare_ir's tail
+    boundary and process_offline's dispatch must agree, or a section would be
+    silently dropped)."""
+    h = fft_size >> 1
+    return (fft_size <= _DIRECT_SECTION_MAX_FFT
+            and h * (partitions + 1) <= _DIRECT_SECTION_MAX_TAPS)
+
+
 def _section_offline_direct(spec: Split, x: jax.Array) -> jax.Array:
     """One small section evaluated as a direct FIR instead of overlap-save.
 
@@ -269,21 +310,36 @@ def _section_offline_direct(spec: Split, x: jax.Array) -> jax.Array:
     return td.fir_offline(x, taps).astype(x.dtype)
 
 
+def _tail_offline(tail: Split, x: jax.Array, shift: int,
+                  backend: Optional[str]) -> jax.Array:
+    """Re-partitioned IR remainder: one uniform engine, output realigned by
+    dropping ``shift`` leading samples (the engine's hop-minus-offset delay
+    in excess of the scheme latency)."""
+    y = part.PartitionedConvolve._process_offline_fused(tail, x, shift=shift)
+    if y is not None:
+        return y
+    L = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, shift)])
+    y = part.PartitionedConvolve.process_offline(tail, xp, backend=backend)
+    return y[..., shift:shift + L]
+
+
 def process_offline(ir: MonoIR, x: jax.Array,
                     backend: Optional[str] = None) -> jax.Array:
     """Whole-signal convolution through the scheme with no sequential scan.
 
-    Small sections run as direct MXU FIRs (see _section_offline_direct); large
-    sections use partitioned overlap-save (fused Pallas chain when
-    backend="pallas")."""
+    Small sections run as direct MXU FIRs (see _section_offline_direct); the
+    large-section remainder runs as the prepared offline tail when present
+    (one throughput-optimal uniform engine), else each section uses
+    partitioned overlap-save (fused Pallas chain when backend="pallas")."""
     out = jnp.zeros_like(x)
     if ir.head_taps.shape[-1]:
         out = out + td.fir_offline(x, ir.head_taps)
+    if ir.tail is not None:
+        # The tail covers every section's window in one engine.
+        return out + _tail_offline(ir.tail, x, ir.tail_shift, backend)
     for spec in ir.spectra:
-        h = spec.shape[-1]
-        p = spec.shape[-2]
-        if 2 * h <= _DIRECT_SECTION_MAX_FFT and \
-                h * (p + 1) <= _DIRECT_SECTION_MAX_TAPS:
+        if _direct_eligible(2 * spec.shape[-1], spec.shape[-2]):
             out = out + _section_offline_direct(spec, x)
         else:
             out = out + part.PartitionedConvolve.process_offline(

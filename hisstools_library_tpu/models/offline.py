@@ -63,7 +63,7 @@ class FastFIR:
             # Fully-fused chain with the look-ahead folded into its single pad
             # pass (instead of padding here and again inside).
             y = part.PartitionedConvolve._process_offline_fused(
-                spectra, x, lookahead=True)
+                spectra, x, shift=spectra.shape[-1])
             if y is not None:
                 return y
         h = spectra.shape[-1]

@@ -288,7 +288,7 @@ class PartitionedConvolve:
 
     @staticmethod
     def _process_offline_fused(spectra: Split, x: jax.Array,
-                               lookahead: bool = False) -> Optional[jax.Array]:
+                               shift: int = 0) -> Optional[jax.Array]:
         """Fully fused offline chain: the reference's per-hop staging copies
         (PartitionedConvolve.cpp:304-307), overlap-save discard (:352-377) and
         1/(4N) scale pass (:232-241) all become kernel index arithmetic —
@@ -303,10 +303,12 @@ class PartitionedConvolve:
         n = 2 * h
         p = spectra.shape[-2]
         L = x.shape[-1]
-        # With lookahead the logical signal is x plus one trailing hop of
-        # zeros; the engine's one-hop delay is then removed by dropping the
-        # first output hop — one combined pad pass instead of two.
-        eff = L + h if lookahead else L
+        # ``shift`` trailing zeros extend the logical signal and the first
+        # ``shift`` output samples are dropped — one combined pad pass. With
+        # shift = hop this is FastFIR's look-ahead (removes the engine's
+        # one-hop delay); other values realign re-partitioned IR windows
+        # (mono.process_offline's offline tail).
+        eff = L + shift
         t = -(-eff // h)
         lags = min(p, t - 1) if t > 1 else 0
         if (not pallas_fft.real_eligible(n) or x.dtype == jnp.float64
@@ -335,6 +337,4 @@ class PartitionedConvolve:
 
         out = pallas_fft.rifft_packed_tail(yre, yim, scale=1.0 / (4.0 * n))
         out = out.reshape(*out.shape[:-2], t * h)
-        if lookahead:
-            return out[..., h:h + L]
-        return out[..., :L]
+        return out[..., shift:shift + L]

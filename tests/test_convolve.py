@@ -216,3 +216,41 @@ def test_mono_convolve_class_api(rng):
     x = rng.standard_normal(mc.block_size * 4)
     st, y = mc.process(st, jnp.asarray(x))
     assert snr_db(np.convolve(x, ir)[:len(x)], y) > 180
+
+
+def test_offline_tail_matches_sectioned(rng):
+    """prepare_ir's offline tail (large sections re-partitioned at the
+    throughput-optimal FFT size + realignment shift) == the per-section
+    engine, for a long IR where the tail actually builds."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.models import mono
+    from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+
+    scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+    L = 65536
+    ir_len = 200000
+    ir = (rng.standard_normal(ir_len) * np.exp(-np.arange(ir_len) / 30000)
+          ).astype(np.float32) * 0.1
+    x = rng.standard_normal((1, L)).astype(np.float32)
+
+    with_tail = mono.prepare_ir(scheme, ir[None])
+    assert with_tail.tail is not None and with_tail.tail_shift > 0
+    without = mono.prepare_ir(scheme, ir[None], offline_tail=False)
+    y_tail = np.asarray(mono.process_offline(with_tail, jnp.asarray(x)))
+    y_ref = np.asarray(mono.process_offline(without, jnp.asarray(x)),
+                       np.float64)
+    err = y_tail - y_ref
+    snr = 10 * np.log10((y_ref * y_ref).sum() / max((err * err).sum(), 1e-300))
+    assert snr > 90.0
+
+    # Short-latency scheme (nonzero latency folded into the shift) too.
+    scheme_s = PartitionScheme.from_latency(LatencyMode.Short)
+    wt = mono.prepare_ir(scheme_s, ir[None])
+    assert wt.tail is not None
+    y_t = np.asarray(mono.process_offline(wt, jnp.asarray(x)))
+    y_r = np.asarray(mono.process_offline(
+        mono.prepare_ir(scheme_s, ir[None], offline_tail=False),
+        jnp.asarray(x)), np.float64)
+    err = y_t - y_r
+    snr = 10 * np.log10((y_r * y_r).sum() / max((err * err).sum(), 1e-300))
+    assert snr > 90.0
