@@ -224,22 +224,19 @@ def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
         spectra.append(part.impulse_spectra(
             ir, plan.fft_size, plan.offset, plan.length, dtype, backend))
 
-    # Offline, the whole section stack past the TD head is a single
-    # convolution with ir[first_offset:] — one throughput-optimal uniform
-    # engine replaces every section (the non-uniform sizes only exist to
-    # bound streaming latency).
+    # Offline, head + sections sum to a single convolution with the whole IR
+    # delayed by the scheme latency — one throughput-optimal uniform engine
+    # replaces the entire stack (the non-uniform sizes and the TD head only
+    # exist to bound streaming latency).
     tail = None
     tail_shift = 0
-    if offline_tail:
-        o = scheme.sections()[0].offset
-        if ir.shape[-1] > o:
-            from .offline import choose_fft_size
-            tail_len = ir.shape[-1] - o
-            nprime = choose_fft_size(tail_len, tail_len)
-            shift = (nprime >> 1) - o - scheme.latency
-            if shift >= 0:
-                tail = part.impulse_spectra(ir, nprime, o, 0, dtype, backend)
-                tail_shift = shift
+    if offline_tail and ir.shape[-1] > 0:
+        from .offline import choose_fft_size
+        nprime = choose_fft_size(ir.shape[-1], ir.shape[-1])
+        shift = (nprime >> 1) - scheme.latency
+        if shift >= 0:
+            tail = part.impulse_spectra(ir, nprime, 0, 0, dtype, backend)
+            tail_shift = shift
     return MonoIR(jnp.asarray(head, dtype), tuple(spectra), tail, tail_shift)
 
 
@@ -332,12 +329,12 @@ def process_offline(ir: MonoIR, x: jax.Array,
     large-section remainder runs as the prepared offline tail when present
     (one throughput-optimal uniform engine), else each section uses
     partitioned overlap-save (fused Pallas chain when backend="pallas")."""
+    if ir.tail is not None:
+        # The tail covers the whole IR (head included) in one engine.
+        return _tail_offline(ir.tail, x, ir.tail_shift, backend)
     out = jnp.zeros_like(x)
     if ir.head_taps.shape[-1]:
         out = out + td.fir_offline(x, ir.head_taps)
-    if ir.tail is not None:
-        # The tail covers every section's window in one engine.
-        return out + _tail_offline(ir.tail, x, ir.tail_shift, backend)
     for spec in ir.spectra:
         if _direct_eligible(2 * spec.shape[-1], spec.shape[-2]):
             out = out + _section_offline_direct(spec, x)
