@@ -58,7 +58,9 @@ from . import matmul_fft
 # Below MIN the XLA-fused dense matmul (matmul_fft direct path) is already one
 # pass; above MAX the working set outgrows VMEM.
 MIN_REAL_SIZE = 4096
-MAX_REAL_SIZE = 1 << 18
+# 2^18 exceeds the 16 MB scoped-VMEM limit even ungrouped (tables ~5.8 MB +
+# double-buffered io + no-reuse temps); the staged matmul path covers larger.
+MAX_REAL_SIZE = 1 << 17
 MIN_COMPLEX_SIZE = 2048
 MAX_COMPLEX_SIZE = 1 << 17
 
@@ -106,9 +108,15 @@ def _pad8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def _load_tables_once(hbm_refs, vmem_refs, sems):
-    """DMA the constant tables HBM -> persistent scratch on the first grid step."""
-    @pl.when(pl.program_id(0) == 0)
+def _load_tables_once(hbm_refs, vmem_refs, sems, grid_rank: int = 1):
+    """DMA the constant tables HBM -> persistent scratch on the FIRST grid
+    step only — the predicate must cover every grid dimension or later steps
+    re-issue (and block on) the multi-MB copies."""
+    first = pl.program_id(0) == 0
+    for d in range(1, grid_rank):
+        first = first & (pl.program_id(d) == 0)
+
+    @pl.when(first)
     def _():
         dmas = [pltpu.make_async_copy(h, v, sems.at[i])
                 for i, (h, v) in enumerate(zip(hbm_refs, vmem_refs))]
@@ -275,17 +283,30 @@ def _hbm_specs(k: int):
 
 
 def _pick_group(b: int, per_signal_io: int, temps: int, tables: int) -> int:
-    """Largest group whose (double-buffered io + unrolled temps + tables) fits."""
+    """Largest group whose (double-buffered io + unrolled temps + tables)
+    fits; 0 if not even a single signal does (caller must fall back)."""
     for g in (8, 4, 2, 1):
         if b % g == 0:
             est = tables + 2 * g * per_signal_io + g * temps
             if est <= _VMEM_TARGET:
                 return g
-    return 1
+    return 0
 
 
 def real_eligible(n: int) -> bool:
     return MIN_REAL_SIZE <= n <= MAX_REAL_SIZE and (n & (n - 1)) == 0
+
+
+def stream_feasible(n: int) -> bool:
+    """True when the streaming/tail kernels for real size n fit VMEM even
+    ungrouped (callers must check before choosing the fused offline chain)."""
+    if not real_eligible(n):
+        return False
+    n1, n2 = _split_real(n)
+    rows = _pad8(n2 // 2 + 1)
+    fwd = 4 * (2 * n1 * n1 + 2 * n1 * n2 + 3 * n2 * rows)
+    inv = 4 * (3 * (n2 // 2) * n2 + 2 * n1 * n2 + 2 * n1 * n1)
+    return max(fwd, inv) + 96 * (n // 2) <= 14 * 1024 * 1024
 
 
 def rfft_packed(x: jax.Array, interpret: bool | None = None,
@@ -304,6 +325,8 @@ def rfft_packed(x: jax.Array, interpret: bool | None = None,
     tables = [jnp.asarray(t) for t in _fwd_tables(n1, n2)]
     table_bytes = sum(int(t.size) * 4 for t in tables)
     g = _pick_group(b, 8 * n, 8 * 4 * n1 * n2, table_bytes)
+    if g == 0:
+        return matmul_fft.rfft_packed(x, core=fft_split)
     a = x.reshape(b, n1, n2).astype(jnp.float32)
 
     in_spec = pl.BlockSpec((g, n1, n2), lambda i: (i, 0, 0),
@@ -342,6 +365,8 @@ def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
     tables = [jnp.asarray(t) for t in _inv_tables(n1, n2)]
     table_bytes = sum(int(t.size) * 4 for t in tables)
     g = _pick_group(b, 8 * n, 8 * 4 * n1 * n2, table_bytes)
+    if g == 0:
+        return matmul_fft.rifft_packed(re, im, core=fft_split)
     pr = re.reshape(b, n2h, n1).astype(jnp.float32)
     pi = im.reshape(b, n2h, n1).astype(jnp.float32)
 
@@ -394,6 +419,8 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
     tables = [jnp.asarray(t) for t in (f1r, f1i, f2r, f2i, twr, twi)]
     table_bytes = sum(int(t.size) * 4 for t in tables)
     g = _pick_group(b, 16 * n, 8 * 4 * n1 * n2, table_bytes)
+    if g == 0:
+        return matmul_fft.fft_split(re, im, inverse=inverse)
     ar = re.reshape(b, n1, n2).astype(jnp.float32)
     ai = im.reshape(b, n1, n2).astype(jnp.float32)
 
@@ -438,7 +465,7 @@ def _rfft_stream_kernel(prevblk_ref, cur_ref, *refs, n2h: int, mode: str,
     pr_ref, pi_ref = refs[7:9]
     f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s, sems = refs[9:]
     _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s),
-                      sems)
+                      sems, grid_rank=2)
     f1r = f1r_s[...]
     f1i = f1i_s[...]
     twr = twr_s[...]
@@ -486,10 +513,10 @@ def _pick_hop_group(t: int, hop: int, table_bytes: int) -> int:
     unrolled temps ~64*G*hop (Mosaic does not reuse across iterations). The
     bound is tighter to the 16M scoped limit than _VMEM_TARGET — g=4 at
     hop=32768 (13.9M estimated) compiles and is ~35% faster than g=2."""
-    for g in (8, 4, 2):
+    for g in (8, 4, 2, 1):
         if t % g == 0 and table_bytes + 96 * g * hop <= 14 * 1024 * 1024:
             return g
-    return 1
+    return 0
 
 
 def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
@@ -517,6 +544,9 @@ def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
     tables = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
     table_bytes = sum(int(tb.size) * 4 for tb in tables)
     g = _pick_hop_group(t, hop, table_bytes)
+    if g == 0:
+        raise ValueError(f"stream kernel infeasible for N={n}; check "
+                         "stream_feasible() before calling")
     x4 = x2d.reshape(b, t, n1h, n2).astype(jnp.float32)
 
     prev_spec = pl.BlockSpec((1, g, n1h, n2),
@@ -548,7 +578,8 @@ def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str,
     hbm = refs[:7]
     y_ref = refs[7]
     qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
-    _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
+    _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
+                      sems, grid_rank=2)
     qr = qr_s[...]
     qi = qi_s[...]
     qs = qs_s[...]
@@ -602,6 +633,9 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
     tables = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
     table_bytes = sum(int(tb.size) * 4 for tb in tables)
     g = _pick_hop_group(t, hop, table_bytes)
+    if g == 0:
+        raise ValueError(f"tail kernel infeasible for N={n}; check "
+                         "stream_feasible() before calling")
     pr = re.reshape(b, t, n2h, n1).astype(jnp.float32)
     pi = im.reshape(b, t, n2h, n1).astype(jnp.float32)
 

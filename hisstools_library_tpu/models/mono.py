@@ -172,9 +172,16 @@ class MonoConvolve:
         return ConvolveError.NONE
 
     def set(self, ir, dtype=jnp.float32, request_resize: bool = True,
-            backend: Optional[str] = None) -> ConvolveError:
+            backend: Optional[str] = None,
+            offline_tail: bool = False) -> ConvolveError:
         """Prepare the IR: head taps + per-section partition spectra
-        (reference MonoConvolve::set, :118-140)."""
+        (reference MonoConvolve::set, :118-140).
+
+        ``offline_tail`` defaults OFF here: this class targets streaming, and
+        the tail costs an extra full-IR transform plus ~IR-sized device memory
+        that streaming never touches. Pass True (or use the functional
+        prepare_ir, whose default is True) when process_offline throughput
+        matters."""
         ir = np.asarray(ir)
         err = ConvolveError.NONE
         if ir.shape[-1] > self.max_length:
@@ -182,7 +189,8 @@ class MonoConvolve:
                 self.resize(ir.shape[-1])
             else:
                 err = ConvolveError.MEM_ALLOC_TOO_SMALL
-        self.ir = prepare_ir(self.scheme, ir, self.max_length, dtype, backend)
+        self.ir = prepare_ir(self.scheme, ir, self.max_length, dtype, backend,
+                             offline_tail=offline_tail)
         self.length = ir.shape[-1]
         return err
 
@@ -288,33 +296,37 @@ def _direct_eligible(fft_size: int, partitions: int) -> bool:
             and h * (partitions + 1) <= _DIRECT_SECTION_MAX_TAPS)
 
 
-def _section_offline_direct(spec: Split, x: jax.Array) -> jax.Array:
-    """One small section evaluated as a direct FIR instead of overlap-save.
-
-    The section's streaming semantics (partitioned.py header): it emits IR
-    window tap m at absolute delay H + m, H = hop. Equivalent direct form:
-    causal FIR with H zero taps followed by the window — the window itself
-    reconstructed from the partition spectra (rifft(rfft(c)) = 2N c), so no
-    extra state is carried in MonoIR.
-    """
+def section_taps_from_spectra(spec: Split) -> jax.Array:
+    """Reconstruct a section's equivalent direct-FIR taps from its partition
+    spectra: H zero taps (the section emits window tap m at delay H + m —
+    partitioned.py header) followed by the IR window (rifft(rfft(c)) = 2N c).
+    Shared by the single-device and sharded direct-FIR paths."""
     h = spec.shape[-1]
     n = 2 * h
     chunks = fft_api.rifft(spec.re, spec.im) * (1.0 / (2.0 * n))  # (..., P, N)
     lead = spec.re.shape[:-2]
     window = chunks[..., :h].reshape(*lead, spec.shape[-2] * h)
-    taps = jnp.concatenate(
+    return jnp.concatenate(
         [jnp.zeros(lead + (h,), window.dtype), window], axis=-1)
-    return td.fir_offline(x, taps).astype(x.dtype)
+
+
+def _section_offline_direct(spec: Split, x: jax.Array) -> jax.Array:
+    """One small section evaluated as a direct FIR instead of overlap-save."""
+    return td.fir_offline(x, section_taps_from_spectra(spec)).astype(x.dtype)
 
 
 def _tail_offline(tail: Split, x: jax.Array, shift: int,
                   backend: Optional[str]) -> jax.Array:
     """Re-partitioned IR remainder: one uniform engine, output realigned by
     dropping ``shift`` leading samples (the engine's hop-minus-offset delay
-    in excess of the scheme latency)."""
-    y = part.PartitionedConvolve._process_offline_fused(tail, x, shift=shift)
-    if y is not None:
-        return y
+    in excess of the scheme latency). The fused Pallas chain runs only when
+    the caller selected the pallas backend — an explicit xla/matmul choice is
+    honoured (e.g. to work around a kernel issue or for A/B timing)."""
+    if backend == "pallas":
+        y = part.PartitionedConvolve._process_offline_fused(tail, x,
+                                                            shift=shift)
+        if y is not None:
+            return y
     L = x.shape[-1]
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, shift)])
     y = part.PartitionedConvolve.process_offline(tail, xp, backend=backend)

@@ -311,7 +311,7 @@ class PartitionedConvolve:
         eff = L + shift
         t = -(-eff // h)
         lags = min(p, t - 1) if t > 1 else 0
-        if (not pallas_fft.real_eligible(n) or x.dtype == jnp.float64
+        if (not pallas_fft.stream_feasible(n) or x.dtype == jnp.float64
                 or lags < 1 or not lag_mac_causal_fits(t, lags, h)):
             return None
         interpret = jax.default_backend() == "cpu"

@@ -84,7 +84,7 @@ def _section_local_fused(spectra: Split, blocks: jax.Array, fft_size: int,
     n = fft_size
     p = spectra.shape[-2]
     lead = blocks.shape[:-2]
-    if (not pallas_fft.real_eligible(n) or blocks.dtype == jnp.float64
+    if (not pallas_fft.stream_feasible(n) or blocks.dtype == jnp.float64
             or not lag_mac_fits(t_loc, p, h)):
         return None
     interpret = jax.default_backend() == "cpu"
@@ -140,14 +140,8 @@ def _head_local(taps: jax.Array, x_local: jax.Array) -> jax.Array:
 
 def _section_local_direct(spec: Split, x_local: jax.Array) -> jax.Array:
     """Small section as a direct MXU FIR over the halo-extended shard
-    (mirrors mono._section_offline_direct; halo = taps - 1 raw samples)."""
-    h = spec.shape[-1]
-    n = 2 * h
-    chunks = fft_api.rifft(spec.re, spec.im) * (1.0 / (2.0 * n))
-    lead = spec.re.shape[:-2]
-    window = chunks[..., :h].reshape(*lead, spec.shape[-2] * h)
-    taps = jnp.concatenate(
-        [jnp.zeros(lead + (h,), window.dtype), window], axis=-1)
+    (taps shared with mono's path; halo = taps - 1 raw samples)."""
+    taps = mono_mod.section_taps_from_spectra(spec)
     t_total = taps.shape[-1]
     x_ext = left_halo(x_local, t_total - 1, axis=x_local.ndim - 1,
                       axis_name=BLOCK_AXIS)
@@ -160,10 +154,7 @@ def _scheme_local(ir: mono_mod.MonoIR, scheme_sizes: Tuple[int, ...],
     if ir.head_taps.shape[-1]:
         out = out + _head_local(ir.head_taps, x_local)
     for spec, fft_size in zip(ir.spectra, scheme_sizes):
-        h = spec.shape[-1]
-        p = spec.shape[-2]
-        if fft_size <= mono_mod._DIRECT_SECTION_MAX_FFT and \
-                h * (p + 1) <= mono_mod._DIRECT_SECTION_MAX_TAPS:
+        if mono_mod._direct_eligible(fft_size, spec.shape[-2]):
             out = out + _section_local_direct(spec, x_local)
         else:
             out = out + _section_local(spec, x_local, fft_size, backend=backend)
