@@ -18,10 +18,14 @@ rendered unless --trim. Output is peak-normalised only if it would clip
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# Allow running as a script from anywhere (tools/ is not the package root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def read_wav(path):

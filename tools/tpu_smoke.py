@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""TPU hardware smoke suite: compile + numerics checks for every Pallas path.
+
+The pytest suite runs on CPU (Pallas interpret mode), which accepts programs
+the Mosaic TPU compiler rejects (scatter-add, rev, VMEM overflows...). This
+script is the hardware gate: it drives each fused kernel and both engines on
+the real chip against float64 oracles and prints one PASS/FAIL line per check.
+
+    python tools/tpu_smoke.py            # all checks (~2-4 min incl. compiles)
+    python tools/tpu_smoke.py --fast     # skip the engine end-to-end checks
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+# Allow running as a script from anywhere (tools/ is not the package root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def snr_db(ref, test):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(test, np.float64) - ref
+    d = (err * err).sum()
+    return np.inf if d == 0 else 10 * np.log10((ref * ref).sum() / d)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--snr", type=float, default=90.0,
+                    help="minimum acceptable SNR vs float64 oracles (dB)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from hisstools_library_tpu.fft import pallas_fft
+    from hisstools_library_tpu.fft.pallas_kernels import (lag_mac,
+                                                          lag_mac_causal)
+    from hisstools_library_tpu.utils.profiling import sync
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+
+    # Fused real FFT round trips across the supported size range, both modes.
+    for mode in ("bf16x3", "highest"):
+        for n in (4096, 32768, 65536, 131072):
+            x = rng.standard_normal((4, n)).astype(np.float32)
+            re, im = jax.jit(
+                lambda a, m=mode: pallas_fft.rfft_packed(a, mode=m))(
+                    jnp.asarray(x))
+            y = jax.jit(
+                lambda a, b, m=mode: pallas_fft.rifft_packed(a, b, mode=m))(
+                    re, im)
+            sync(y)
+            s = snr_db(2.0 * n * x, np.asarray(y))
+            check(f"rfft/rifft {mode} N={n}", s > args.snr, f"SNR {s:.1f} dB")
+
+    # Streaming forward + tail inverse (the convolution chain kernels).
+    hop, t = 32768, 8
+    x = rng.standard_normal((2, t * hop)).astype(np.float32)
+    x2d = jnp.asarray(x.reshape(2, t, hop))
+    sr, si = jax.jit(pallas_fft.rfft_packed_stream)(x2d)
+    tail = jax.jit(lambda a, b: pallas_fft.rifft_packed_tail(
+        a, b, scale=1.0 / (4.0 * 2 * hop)))(sr, si)
+    sync(tail)
+    # Oracle: frame t = [block t-1 | block t]; tail = scaled second half.
+    blocks = np.concatenate([np.zeros((2, 1, hop)), x.reshape(2, t, hop)], 1)
+    ok = True
+    worst = np.inf
+    for i in (0, t - 1):
+        frame = np.concatenate([blocks[:, i], blocks[:, i + 1]], -1)
+        z = np.fft.rfft(frame, axis=-1)
+        pk_re = 2 * z.real[:, :-1]
+        s = snr_db(pk_re, np.asarray(sr[:, i]))
+        worst = min(worst, s)
+        ok &= s > args.snr
+    check("stream rfft (hop frames)", ok, f"worst SNR {worst:.1f} dB")
+
+    # MAC kernels against a numpy lag loop (packed bin-0 semantics).
+    c, tt, p, k = 3, 9, 5, 16384
+    xr = rng.standard_normal((c, tt, k)).astype(np.float32)
+    xi = rng.standard_normal((c, tt, k)).astype(np.float32)
+    hr = rng.standard_normal((c, p, k)).astype(np.float32)
+    hi = rng.standard_normal((c, p, k)).astype(np.float32)
+    ref_re = np.zeros((c, tt, k))
+    ref_im = np.zeros((c, tt, k))
+    for lag in range(p):
+        for ti in range(lag + 1, tt):
+            a_re, a_im = xr[:, ti - 1 - lag], xi[:, ti - 1 - lag]
+            b_re, b_im = hr[:, lag], hi[:, lag]
+            pr = a_re * b_re - a_im * b_im
+            pi_ = a_re * b_im + a_im * b_re
+            pr[:, 0] = a_re[:, 0] * b_re[:, 0]      # packed DC lane
+            pi_[:, 0] = a_im[:, 0] * b_im[:, 0]     # packed Nyquist lane
+            ref_re[:, ti] += pr
+            ref_im[:, ti] += pi_
+    cr, ci = jax.jit(lag_mac_causal)(*map(jnp.asarray, (xr, xi, hr, hi)))
+    sync(ci)
+    s = min(snr_db(ref_re, np.asarray(cr)), snr_db(ref_im, np.asarray(ci)))
+    check("lag_mac_causal", s > args.snr, f"SNR {s:.1f} dB")
+    pad = np.zeros((c, p, k), np.float32)
+    pr_, pi_ = jax.jit(lambda a, b, cc, dd: lag_mac(a, b, cc, dd, tt))(
+        jnp.asarray(np.concatenate([pad, xr], 1)),
+        jnp.asarray(np.concatenate([pad, xi], 1)),
+        jnp.asarray(hr), jnp.asarray(hi))
+    sync(pi_)
+    s = min(snr_db(ref_re, np.asarray(pr_)), snr_db(ref_im, np.asarray(pi_)))
+    check("lag_mac (padded)", s > args.snr, f"SNR {s:.1f} dB")
+
+    if not args.fast:
+        # End-to-end engines vs float64 direct convolution.
+        from hisstools_library_tpu.models import mono
+        from hisstools_library_tpu.models.mono import (LatencyMode,
+                                                       PartitionScheme)
+        from hisstools_library_tpu.models.offline import fast_fir
+
+        L, IRL = 131072, 48000
+        x1 = rng.standard_normal((4, L)).astype(np.float32)
+        ir1 = (rng.standard_normal((4, IRL)) *
+               np.exp(-np.arange(IRL) / 16000)).astype(np.float32)
+        y = fast_fir(jnp.asarray(x1), ir1, backend="pallas")
+        sync(y)
+        ref = np.stack([np.convolve(x1[i].astype(np.float64),
+                                    ir1[i].astype(np.float64))[:L]
+                        for i in range(4)])
+        s = snr_db(ref, np.asarray(y))
+        check("fast_fir end-to-end", s > args.snr - 10, f"SNR {s:.1f} dB")
+
+        scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+        prep = mono.prepare_ir(scheme, ir1)
+        y2 = mono.process_offline(prep, jnp.asarray(x1), backend="pallas")
+        sync(y2)
+        s = snr_db(ref, np.asarray(y2))
+        check("scheme offline tail end-to-end", s > args.snr - 10,
+              f"SNR {s:.1f} dB")
+
+    print(f"\n{len(FAILURES)} failures; {time.time() - t0:.0f}s total",
+          flush=True)
+    if FAILURES:
+        print("FAILED:", ", ".join(FAILURES))
+        sys.exit(1)
+    print("TPU smoke: all checks passed")
+
+
+if __name__ == "__main__":
+    main()
