@@ -51,6 +51,8 @@ def main():
 
     ir_len = int(ir_seconds * fs)
     sig_len = int(np.ceil(sig_seconds * fs / hop)) * hop
+    if mode == "stream":
+        sig_len = hop * 16  # chain of real-time blocks per timed dispatch
 
     log(f"bench[{mode}]: {channels}ch, IR {ir_len} samples, signal {sig_len} "
         f"samples, device {jax.devices()[0]}")
@@ -76,6 +78,18 @@ def main():
             f"fft backend {backend}; IR prepared in {time.time() - t0:.2f}s")
         fwd = jax.jit(lambda s, x: FastFIR.apply(s, x, backend=backend))
         ir = spectra
+    elif mode == "stream":
+        # Real-time streaming engine: sequential per-hop scan with carried
+        # state (the latency-bounded path, not the offline throughput one).
+        ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32, offline_tail=False)
+        jax.block_until_ready(ir.head_taps)
+        log(f"streaming scheme {scheme.sizes}, block {hop}")
+        state0 = mono.init_state(scheme, ir, batch_shape=(channels,))
+        step = jax.jit(lambda i, s, xx: mono.process(i, s, xx, backend=backend))
+
+        def fwd(i, xx, _step=step, _s0=state0):
+            _, y = _step(i, _s0, xx)
+            return y
     else:
         ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32)
         jax.block_until_ready(ir.head_taps)

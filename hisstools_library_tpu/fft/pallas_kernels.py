@@ -187,13 +187,14 @@ def _lag_mac_causal_kernel(xre_ref, xim_ref, hre_ref, him_ref, exch_ref,
 
 
 def _pick_bin_tile_causal(t: int, p: int, bins: int) -> int:
-    # Mosaic's scoped stack does NOT reuse temporaries across unrolled loop
-    # iterations, so the per-row products accumulate: model the worst case as
-    # 4 arrays x 4 bytes x nv rows summed over all output rows.
+    # Mosaic's scoped stack reuses temporaries across unrolled iterations only
+    # partially: measured live-set ~2 arrays x 4 bytes x nv rows summed over
+    # all output rows (a t=31/p=30/tile=8192 compile reported 29.5M = ~2x
+    # cum_rows), modeled here with a 25% margin.
     cum_rows = sum(min(p, ti) for ti in range(1, t))
     tile = min(bins, 8192)
     while tile >= 128:
-        need = 4 * 2 * (2 * t + p + 2 * t) * tile + 16 * cum_rows * tile
+        need = 4 * 2 * (2 * t + p + 2 * t) * tile + 10 * cum_rows * tile
         if need <= _VMEM_BUDGET and bins % tile == 0:
             return tile
         tile //= 2
