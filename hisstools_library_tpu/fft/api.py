@@ -44,23 +44,32 @@ from ..core.types import Split
 # Max size parity with the reference: setups up to 2^28 (HISSTools_FFT.h:87-98).
 MAX_FFT_SIZE_LOG2 = 28
 
-_DEFAULT_BACKEND = "xla"
+_DEFAULT_BACKEND: Optional[str] = None  # None = per-platform auto
 
 
-def set_default_backend(name: str) -> None:
-    """Set the process-wide default FFT backend ("xla" or "matmul")."""
+def set_default_backend(name: Optional[str]) -> None:
+    """Set the process-wide default FFT backend ("xla", "matmul", "pallas"),
+    or None to restore the per-platform automatic choice."""
     global _DEFAULT_BACKEND
-    if name not in ("xla", "matmul", "pallas"):
+    if name is not None and name not in ("xla", "matmul", "pallas"):
         raise ValueError(f"unknown FFT backend {name!r}")
     _DEFAULT_BACKEND = name
 
 
-def get_default_backend() -> str:
+def get_default_backend() -> Optional[str]:
     return _DEFAULT_BACKEND
 
 
 def _resolve(backend: Optional[str]) -> str:
-    return backend if backend is not None else _DEFAULT_BACKEND
+    if backend is not None:
+        return backend
+    if _DEFAULT_BACKEND is not None:
+        return _DEFAULT_BACKEND
+    # Platform-aware default: XLA's TPU FFT runs its twiddles in f32 and is
+    # only ~40-60 dB accurate at these sizes; the pallas/matmul backends hold
+    # >100 dB there. On CPU jnp.fft is exact and fastest. (The axon plugin
+    # reports a non-"cpu"/-"tpu" backend name, hence the negative test.)
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
 def _log2_size(n: int) -> int:

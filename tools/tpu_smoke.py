@@ -42,6 +42,10 @@ def snr_db(ref, test):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="include the IR measurement pipeline (adds ~7 min of "
+                         "remote compile: the partial tracker's greedy loop "
+                         "builds a large unrolled graph)")
     ap.add_argument("--snr", type=float, default=90.0,
                     help="minimum acceptable SNR vs float64 oracles (dB)")
     args = ap.parse_args(argv)
@@ -124,6 +128,34 @@ def main(argv=None):
     sync(pi_)
     s = min(snr_db(ref_re, np.asarray(pr_)), snr_db(ref_im, np.asarray(pi_)))
     check("lag_mac (padded)", s > args.snr, f"SNR {s:.1f} dB")
+
+    # Analysis layers on hardware: STFT round trip, windows, spectral ops,
+    # and the HIRT-style measurement pipeline (deconvolve + smooth + track).
+    from hisstools_library_tpu.ops import stft as stft_mod
+    from hisstools_library_tpu.ops import windows as win_mod
+
+    w = win_mod.hann(1024)
+    sig = rng.standard_normal((2, 48000)).astype(np.float32)
+    # boundary=True: without it the first/last window tapers are
+    # under-covered and edge error dominates (documented behaviour).
+    spec = stft_mod.stft(jnp.asarray(sig), w, 1024, 256, boundary=True)
+    back = stft_mod.istft(spec, w, 256, length=48000, boundary=True)
+    sync(back)
+    s = snr_db(sig, np.asarray(back))
+    check("stft/istft round trip", s > 100.0, f"SNR {s:.1f} dB")
+
+    if args.full:
+        from hisstools_library_tpu.models.pipeline import run_ir_pipeline
+        exc = rng.standard_normal(16384).astype(np.float32)
+        true_ir = (rng.standard_normal(2048) * np.exp(-np.arange(2048) / 500)
+                   ).astype(np.float32)
+        measured = np.convolve(exc, true_ir)[:16384].astype(np.float32)
+        res = run_ir_pipeline(jnp.asarray(measured), jnp.asarray(exc),
+                              n_peaks=8, sample_rate=48000.0)
+        imp = np.asarray(res.impulse)
+        s = snr_db(true_ir[:1024], imp[:1024])
+        check("IR measurement pipeline (deconvolve)", s > 20.0,
+              f"SNR {s:.1f} dB")
 
     if not args.fast:
         # End-to-end engines vs float64 direct convolution.
