@@ -44,8 +44,8 @@ def main(argv=None):
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--full", action="store_true",
                     help="include the IR measurement pipeline (adds ~7 min of "
-                         "remote compile: the partial tracker's greedy loop "
-                         "builds a large unrolled graph)")
+                         "remote compile: the kernel smoother traces one "
+                         "sub-graph per distinct filter width)")
     ap.add_argument("--snr", type=float, default=90.0,
                     help="minimum acceptable SNR vs float64 oracles (dB)")
     args = ap.parse_args(argv)
