@@ -146,6 +146,49 @@ def smooth(x, kernel, width_lo: float, width_hi: float,
 
     padded = _pad_edges(x, filter_size, edges)
 
+    def build_filter(hw: int):
+        w = 2 * hw - 1
+        if symmetric:
+            half = _resample_kernel(kernel, hw, ends)
+            filt_sum = half.sum() * 2.0 - half[0]
+            filt = np.concatenate([half[::-1], half[1:]])
+        else:
+            filt = _resample_kernel(kernel, w, ends)
+            filt_sum = filt.sum()
+        gain = 1.0 / filt_sum if filt_sum else 1.0
+        return filt, gain
+
+    # Vectorised single-graph path: widths are static, so the whole variable-
+    # width smoother is one host-built (L, W) filter bank applied as a gather
+    # + weighted reduction — one traced op instead of one sub-graph per width
+    # group (which costs ~2 s of remote TPU compile EACH). The group/FFT path
+    # below remains for working sets too large to materialise.
+    hw_max = max(half_width(0), half_width(L - 1))
+    w_max = 2 * hw_max - 1
+    lead_n = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if lead_n * L * w_max <= (1 << 25):
+        bank = np.zeros((L, w_max), np.float64)
+        i = 0
+        while i < L:
+            hw = half_width(i)
+            j = i
+            while j < L and half_width(j) == hw:
+                j += 1
+            filt, gain = build_filter(hw)
+            w = 2 * hw - 1
+            # y[i] = sum_j filt[j] * padded[fs + i + (hw-1) - j]: reversed
+            # placement, centred in the fixed W-wide window.
+            row = np.zeros(w_max)
+            centre = hw_max - 1
+            row[centre - (hw - 1): centre + hw] = (filt[::-1] * gain)
+            bank[i:j] = row
+            i = j
+        base = filter_size - (hw_max - 1)
+        idx = np.arange(L)[:, None] + base + np.arange(w_max)[None, :]
+        windows = padded[..., jnp.asarray(idx)]           # (..., L, W)
+        fb = jnp.asarray(bank, x.dtype)
+        return jnp.einsum("...lw,lw->...l", windows, fb)
+
     out_parts = []
     i = 0
     while i < L:
@@ -155,16 +198,7 @@ def smooth(x, kernel, width_lo: float, width_hi: float,
             j += 1
         n_out = j - i
         w = 2 * hw - 1
-
-        if symmetric:
-            half = _resample_kernel(kernel, hw, ends)
-            half_sum = half.sum()
-            filt_sum = half_sum * 2.0 - half[0]
-            filt = np.concatenate([half[::-1], half[1:]])  # symmetric full filter
-        else:
-            filt = _resample_kernel(kernel, w, ends)
-            filt_sum = filt.sum()
-        gain = 1.0 / filt_sum if filt_sum else 1.0
+        filt, gain = build_filter(hw)
 
         # data window: padded coords [i - (hw-1) + filter_size, ...)
         start = i - (hw - 1) + filter_size

@@ -252,3 +252,25 @@ def test_tracker_change_stats():
     assert abs(pt.freq_change_abs() - (1.0 + 2.0) / 2) < 1e-9
     assert abs(pt.amp_change_sum() - (0.5 - 1.0) / 2) < 1e-9
     assert abs(pt.amp_change_abs() - (0.5 + 1.0) / 2) < 1e-9
+
+
+def test_smooth_vectorised_matches_group_path(rng):
+    """The single-graph filter-bank path == the per-width-group path (the
+    latter forced by a batch large enough to exceed the materialisation
+    budget)."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.ops import smoothing, windows
+
+    L = 4096
+    k = np.asarray(windows.hann(63, dtype=jnp.float64))[31:]
+    # 64 * 4096 * W(=255) = 67M elements > 2^25: forces the group path.
+    big = rng.standard_normal((64, L)).astype(np.float32)
+    small = big[:3]
+    y_group = smoothing.smooth(jnp.asarray(big), k, 2.0, 256.0, symmetric=True,
+                               edges=smoothing.EdgeMode.Extend)
+    y_vec = smoothing.smooth(jnp.asarray(small), k, 2.0, 256.0, symmetric=True,
+                             edges=smoothing.EdgeMode.Extend)
+    ref = np.asarray(y_group[:3], np.float64)
+    d = np.asarray(y_vec, np.float64) - ref
+    snr = 10 * np.log10((ref * ref).sum() / max((d * d).sum(), 1e-300))
+    assert snr > 100.0

@@ -43,9 +43,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--full", action="store_true",
-                    help="include the IR measurement pipeline (adds ~7 min of "
-                         "remote compile: the kernel smoother traces one "
-                         "sub-graph per distinct filter width)")
+                    help="include the IR measurement pipeline (~40 s)")
     ap.add_argument("--snr", type=float, default=90.0,
                     help="minimum acceptable SNR vs float64 oracles (dB)")
     args = ap.parse_args(argv)
