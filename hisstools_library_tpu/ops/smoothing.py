@@ -187,7 +187,11 @@ def smooth(x, kernel, width_lo: float, width_hi: float,
         idx = np.arange(L)[:, None] + base + np.arange(w_max)[None, :]
         windows = padded[..., jnp.asarray(idx)]           # (..., L, W)
         fb = jnp.asarray(bank, x.dtype)
-        return jnp.einsum("...lw,lw->...l", windows, fb)
+        # HIGHEST: default MXU precision would run the f32 contraction in
+        # bf16 on TPU (~8-bit mantissa) — invisible on CPU where the parity
+        # test runs.
+        return jnp.einsum("...lw,lw->...l", windows, fb,
+                          precision=jax.lax.Precision.HIGHEST)
 
     out_parts = []
     i = 0

@@ -12,10 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hisstools_library_tpu.core.types import Split
 from hisstools_library_tpu.models import mono
-from hisstools_library_tpu.models import partitioned as part
-from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+from hisstools_library_tpu.models.mono import PartitionScheme
 from hisstools_library_tpu.models.offline import FastFIR
 
 
