@@ -85,19 +85,40 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _bsplit(x):
+    """hi/lo bf16 split of an f32 operand (the bf16x3 decomposition)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return xh, xl
+
+
+class _Dot:
+    """Mode-aware dot_general with operand splits hoisted: in bf16x3 mode
+    ``prep`` splits an operand ONCE and every subsequent product reuses the
+    pair — the naive per-call split re-splits shared tables/data on every
+    matmul (and every grid step), pure wasted VPU work."""
+
+    def __init__(self, mode: str):
+        self.split = mode == "bf16x3"
+
+    def prep(self, x):
+        return _bsplit(x) if self.split else x
+
+    def __call__(self, lhs, rhs, dims):
+        if self.split:
+            lh, ll = lhs if isinstance(lhs, tuple) else _bsplit(lhs)
+            rh, rl = rhs if isinstance(rhs, tuple) else _bsplit(rhs)
+            f = partial(jax.lax.dot_general, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+            return f(lh, rh) + f(lh, rl) + f(ll, rh)
+        return jax.lax.dot_general(lhs, rhs, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _dg(lhs, rhs, dims, mode):
     """dot_general in the selected MXU mode (f32 accumulate either way)."""
-    if mode == "bf16x3":
-        lh = lhs.astype(jnp.bfloat16)
-        ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
-        rh = rhs.astype(jnp.bfloat16)
-        rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
-        f = partial(jax.lax.dot_general, dimension_numbers=dims,
-                    preferred_element_type=jnp.float32)
-        return f(lh, rh) + f(lh, rl) + f(ll, rh)
-    return jax.lax.dot_general(lhs, rhs, dimension_numbers=dims,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    return _Dot(mode)(lhs, rhs, dims)
 
 _MM = (((1,), (0,)), ((), ()))    # standard matmul
 _T2 = (((0,), (1,)), ((), ()))    # lhs^T @ rhs^T -> folded output transpose
@@ -189,23 +210,24 @@ def _rfft_kernel(x_ref, *refs, n2h: int, mode: str, group: int):
     f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s, sems = refs[9:]
     _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s),
                       sems)
-    f1r = f1r_s[...]
-    f1i = f1i_s[...]
+    dot = _Dot(mode)
+    f1r = dot.prep(f1r_s[...])
+    f1i = dot.prep(f1i_s[...])
     twr = twr_s[...]
     twi = twi_s[...]
-    f2r = f2r_s[...]
-    f2i = f2i_s[...]
-    f2s = f2s_s[...]
+    f2r = dot.prep(f2r_s[...])
+    f2i = dot.prep(f2i_s[...])
+    f2s = dot.prep(f2s_s[...])
     for g in range(group):
-        a = x_ref[g]                               # (n1, n2) real
-        br = _dg(f1r, a, _MM, mode)                # stage 1: real input -> 2 matmuls
-        bi = _dg(f1i, a, _MM, mode)
+        a = dot.prep(x_ref[g])                     # (n1, n2) real
+        br = dot(f1r, a, _MM)                      # stage 1: real input -> 2 matmuls
+        bi = dot(f1i, a, _MM)
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
         # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
-        m1 = _dg(f2r, cr, _T2, mode)
-        m2 = _dg(f2i, ci, _T2, mode)
-        m3 = _dg(f2s, cr + ci, _T2, mode)
+        m1 = _dg(f2r, dot.prep(cr), _T2, mode)
+        m2 = _dg(f2i, dot.prep(ci), _T2, mode)
+        m3 = _dg(f2s, dot.prep(cr + ci), _T2, mode)
         er = m1 - m2                                             # (rows_pad, n1)
         ei = m3 - m1 - m2
         nyq = er[n2h, 0]
@@ -221,13 +243,14 @@ def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
     y_ref = refs[7]
     qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
     _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
-    qr = qr_s[...]
-    qi = qi_s[...]
-    qs = qs_s[...]
+    dot = _Dot(mode)
+    qr = dot.prep(qr_s[...])
+    qi = dot.prep(qi_s[...])
+    qs = dot.prep(qs_s[...])
     ctr = ctr_s[...]
     cti = cti_s[...]
-    p1r = p1r_s[...]
-    p1i = p1i_s[...]
+    p1r = dot.prep(p1r_s[...])
+    p1i = dot.prep(p1i_s[...])
     for g in range(group):
         pr = pr_ref[g]                             # (n2h, n1) packed spectrum
         pi = pi_ref[g]
@@ -237,14 +260,16 @@ def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
         cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
         pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
         # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
-        m1 = _dg(pr, qr, _T0, mode)
-        m2 = _dg(pi0, qi, _T0, mode)
-        m3 = _dg(pr + pi0, qs, _T0, mode)
+        prp = dot.prep(pr)
+        pi0p = dot.prep(pi0)
+        m1 = dot(prp, qr, _T0)
+        m2 = dot(pi0p, qi, _T0)
+        m3 = _dg(dot.prep(pr + pi0), qs, _T0, mode)
         hr = m1 - m2                                             # (n1, n2)
         hi = m3 - m1 - m2
         h2r = hr * ctr - hi * cti
         h2i = hr * cti + hi * ctr
-        sr = _dg(p1r, h2r, _MM, mode) - _dg(p1i, h2i, _MM, mode)
+        sr = dot(p1r, dot.prep(h2r), _MM) - dot(p1i, dot.prep(h2i), _MM)
         par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
         parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
         # Packed values are used AS the spectrum (the x2 is not undone):
@@ -466,38 +491,40 @@ def _rfft_stream_kernel(prevblk_ref, cur_ref, *refs, n2h: int, mode: str,
     f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s, sems = refs[9:]
     _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s),
                       sems, grid_rank=2)
-    f1r = f1r_s[...]
-    f1i = f1i_s[...]
+    dot = _Dot(mode)
+    nh = cur_ref.shape[-2]
+    f1r_lo = dot.prep(f1r_s[...][:, :nh])
+    f1r_hi = dot.prep(f1r_s[...][:, nh:])
+    f1i_lo = dot.prep(f1i_s[...][:, :nh])
+    f1i_hi = dot.prep(f1i_s[...][:, nh:])
     twr = twr_s[...]
     twi = twi_s[...]
-    f2r = f2r_s[...]
-    f2i = f2i_s[...]
-    f2s = f2s_s[...]
+    f2r = dot.prep(f2r_s[...])
+    f2i = dot.prep(f2i_s[...])
+    f2s = dot.prep(f2s_s[...])
     n1h = cur_ref.shape[-2]
     # Zero the previous-hop contribution only on the very first hop (t == 0):
     # the previous group block is clamped there, so its last hop is garbage.
     first = (pl.program_id(1) == 0)
+    prev_cached = None
     for g in range(group):
-        cur = cur_ref[0, g]                        # (n1/2, n2): second half-frame
+        cur = dot.prep(cur_ref[0, g])              # (n1/2, n2): second half-frame
         if g == 0:
-            prev = prevblk_ref[0, group - 1]
-            pm = jnp.where(first, 0.0, 1.0).astype(cur.dtype)
-            br = pm * _dg(f1r[:, :n1h], prev, _MM, mode) + \
-                _dg(f1r[:, n1h:], cur, _MM, mode)
-            bi = pm * _dg(f1i[:, :n1h], prev, _MM, mode) + \
-                _dg(f1i[:, n1h:], cur, _MM, mode)
+            prev = dot.prep(prevblk_ref[0, group - 1])
+            pm = jnp.where(first, 0.0, 1.0).astype(jnp.float32)
+            br = pm * dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
+            bi = pm * dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
         else:
-            prev = cur_ref[0, g - 1]
-            br = _dg(f1r[:, :n1h], prev, _MM, mode) + \
-                _dg(f1r[:, n1h:], cur, _MM, mode)
-            bi = _dg(f1i[:, :n1h], prev, _MM, mode) + \
-                _dg(f1i[:, n1h:], cur, _MM, mode)
+            prev = prev_cached
+            br = dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
+            bi = dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
+        prev_cached = cur
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
         # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
-        m1 = _dg(f2r, cr, _T2, mode)
-        m2 = _dg(f2i, ci, _T2, mode)
-        m3 = _dg(f2s, cr + ci, _T2, mode)
+        m1 = dot(f2r, dot.prep(cr), _T2)
+        m2 = dot(f2i, dot.prep(ci), _T2)
+        m3 = dot(f2s, dot.prep(cr + ci), _T2)
         er = m1 - m2
         ei = m3 - m1 - m2
         nyq = er[n2h, 0]
@@ -580,14 +607,15 @@ def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str,
     qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
     _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
                       sems, grid_rank=2)
-    qr = qr_s[...]
-    qi = qi_s[...]
-    qs = qs_s[...]
+    dot = _Dot(mode)
+    qr = dot.prep(qr_s[...])
+    qi = dot.prep(qi_s[...])
+    qs = dot.prep(qs_s[...])
     ctr = ctr_s[...]
     cti = cti_s[...]
     n1h = y_ref.shape[-2]
-    p1r = p1r_s[...]
-    p1i = p1i_s[...]
+    p1r = dot.prep(p1r_s[...][n1h:, :])
+    p1i = dot.prep(p1i_s[...][n1h:, :])
     for g in range(group):
         pr = pr_ref[0, g]
         pi = pi_ref[0, g]
@@ -597,14 +625,14 @@ def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str,
         cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
         pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
         # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
-        m1 = _dg(pr, qr, _T0, mode)
-        m2 = _dg(pi0, qi, _T0, mode)
-        m3 = _dg(pr + pi0, qs, _T0, mode)
+        m1 = dot(dot.prep(pr), qr, _T0)
+        m2 = dot(dot.prep(pi0), qi, _T0)
+        m3 = dot(dot.prep(pr + pi0), qs, _T0)
         hr = m1 - m2
         hi = m3 - m1 - m2
         h2r = hr * ctr - hi * cti
         h2i = hr * cti + hi * ctr
-        sr = _dg(p1r[n1h:, :], h2r, _MM, mode) - _dg(p1i[n1h:, :], h2i, _MM, mode)
+        sr = dot(p1r, dot.prep(h2r), _MM) - dot(p1i, dot.prep(h2i), _MM)
         par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
         parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
         y_ref[0, g] = scale * (2.0 * sr - x0 + nyq * parity)
