@@ -93,24 +93,39 @@ def _bsplit(x):
 
 
 class _Dot:
-    """Mode-aware dot_general with operand splits hoisted: in bf16x3 mode
-    ``prep`` splits an operand ONCE and every subsequent product reuses the
-    pair — the naive per-call split re-splits shared tables/data on every
-    matmul (and every grid step), pure wasted VPU work."""
+    """Mode-aware dot_general. In bf16x3 mode the three partial products
+    ah@bh + ah@bl + al@bh fuse into ONE dot over a 3x contraction:
+    [ah|ah|al] @ [bh;bl;bh] — three separate dots with f32 adds in between
+    run the MXU at ~38% of peak (pipeline drains between small matmuls)
+    while a single long-contraction dot reaches ~70%. ``lhs``/``rhs`` stack
+    an operand once along its contraction axis; stacked values are tagged so
+    they are built once per kernel invocation (tables) or per use (data)."""
 
     def __init__(self, mode: str):
         self.split = mode == "bf16x3"
 
-    def prep(self, x):
-        return _bsplit(x) if self.split else x
+    def lhs(self, x, axis: int):
+        if not self.split:
+            return x
+        xh, xl = _bsplit(x)
+        return ("L", jnp.concatenate([xh, xh, xl], axis=axis))
+
+    def rhs(self, x, axis: int):
+        if not self.split:
+            return x
+        xh, xl = _bsplit(x)
+        return ("R", jnp.concatenate([xh, xl, xh], axis=axis))
 
     def __call__(self, lhs, rhs, dims):
         if self.split:
-            lh, ll = lhs if isinstance(lhs, tuple) else _bsplit(lhs)
-            rh, rl = rhs if isinstance(rhs, tuple) else _bsplit(rhs)
-            f = partial(jax.lax.dot_general, dimension_numbers=dims,
-                        preferred_element_type=jnp.float32)
-            return f(lh, rh) + f(lh, rl) + f(ll, rh)
+            (lt, la) = lhs if isinstance(lhs, tuple) else ("raw", lhs)
+            (rt, ra) = rhs if isinstance(rhs, tuple) else ("raw", rhs)
+            if lt == "raw":
+                la = self.lhs(la, dims[0][0][0])[1]
+            if rt == "raw":
+                ra = self.rhs(ra, dims[0][1][0])[1]
+            return jax.lax.dot_general(la, ra, dimension_numbers=dims,
+                                       preferred_element_type=jnp.float32)
         return jax.lax.dot_general(lhs, rhs, dimension_numbers=dims,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
@@ -211,23 +226,23 @@ def _rfft_kernel(x_ref, *refs, n2h: int, mode: str, group: int):
     _load_tables_once(hbm, (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s),
                       sems)
     dot = _Dot(mode)
-    f1r = dot.prep(f1r_s[...])
-    f1i = dot.prep(f1i_s[...])
+    f1r = dot.lhs(f1r_s[...], 1)
+    f1i = dot.lhs(f1i_s[...], 1)
     twr = twr_s[...]
     twi = twi_s[...]
-    f2r = dot.prep(f2r_s[...])
-    f2i = dot.prep(f2i_s[...])
-    f2s = dot.prep(f2s_s[...])
+    f2r = dot.lhs(f2r_s[...], 0)
+    f2i = dot.lhs(f2i_s[...], 0)
+    f2s = dot.lhs(f2s_s[...], 0)
     for g in range(group):
-        a = dot.prep(x_ref[g])                     # (n1, n2) real
+        a = dot.rhs(x_ref[g], 0)                   # (n1, n2) real
         br = dot(f1r, a, _MM)                      # stage 1: real input -> 2 matmuls
         bi = dot(f1i, a, _MM)
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
         # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
-        m1 = _dg(f2r, dot.prep(cr), _T2, mode)
-        m2 = _dg(f2i, dot.prep(ci), _T2, mode)
-        m3 = _dg(f2s, dot.prep(cr + ci), _T2, mode)
+        m1 = dot(f2r, dot.rhs(cr, 1), _T2)
+        m2 = dot(f2i, dot.rhs(ci, 1), _T2)
+        m3 = dot(f2s, dot.rhs(cr + ci, 1), _T2)
         er = m1 - m2                                             # (rows_pad, n1)
         ei = m3 - m1 - m2
         nyq = er[n2h, 0]
@@ -244,13 +259,13 @@ def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
     qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
     _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
     dot = _Dot(mode)
-    qr = dot.prep(qr_s[...])
-    qi = dot.prep(qi_s[...])
-    qs = dot.prep(qs_s[...])
+    qr = dot.rhs(qr_s[...], 0)
+    qi = dot.rhs(qi_s[...], 0)
+    qs = dot.rhs(qs_s[...], 0)
     ctr = ctr_s[...]
     cti = cti_s[...]
-    p1r = dot.prep(p1r_s[...])
-    p1i = dot.prep(p1i_s[...])
+    p1r = dot.lhs(p1r_s[...], 1)
+    p1i = dot.lhs(p1i_s[...], 1)
     for g in range(group):
         pr = pr_ref[g]                             # (n2h, n1) packed spectrum
         pi = pi_ref[g]
@@ -260,16 +275,14 @@ def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
         cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
         pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
         # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
-        prp = dot.prep(pr)
-        pi0p = dot.prep(pi0)
-        m1 = dot(prp, qr, _T0)
-        m2 = dot(pi0p, qi, _T0)
-        m3 = _dg(dot.prep(pr + pi0), qs, _T0, mode)
+        m1 = dot(dot.lhs(pr, 0), qr, _T0)
+        m2 = dot(dot.lhs(pi0, 0), qi, _T0)
+        m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
         hr = m1 - m2                                             # (n1, n2)
         hi = m3 - m1 - m2
         h2r = hr * ctr - hi * cti
         h2i = hr * cti + hi * ctr
-        sr = dot(p1r, dot.prep(h2r), _MM) - dot(p1i, dot.prep(h2i), _MM)
+        sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
         par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
         parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
         # Packed values are used AS the spectrum (the x2 is not undone):
@@ -493,24 +506,24 @@ def _rfft_stream_kernel(prevblk_ref, cur_ref, *refs, n2h: int, mode: str,
                       sems, grid_rank=2)
     dot = _Dot(mode)
     nh = cur_ref.shape[-2]
-    f1r_lo = dot.prep(f1r_s[...][:, :nh])
-    f1r_hi = dot.prep(f1r_s[...][:, nh:])
-    f1i_lo = dot.prep(f1i_s[...][:, :nh])
-    f1i_hi = dot.prep(f1i_s[...][:, nh:])
+    f1r_lo = dot.lhs(f1r_s[...][:, :nh], 1)
+    f1r_hi = dot.lhs(f1r_s[...][:, nh:], 1)
+    f1i_lo = dot.lhs(f1i_s[...][:, :nh], 1)
+    f1i_hi = dot.lhs(f1i_s[...][:, nh:], 1)
     twr = twr_s[...]
     twi = twi_s[...]
-    f2r = dot.prep(f2r_s[...])
-    f2i = dot.prep(f2i_s[...])
-    f2s = dot.prep(f2s_s[...])
+    f2r = dot.lhs(f2r_s[...], 0)
+    f2i = dot.lhs(f2i_s[...], 0)
+    f2s = dot.lhs(f2s_s[...], 0)
     n1h = cur_ref.shape[-2]
     # Zero the previous-hop contribution only on the very first hop (t == 0):
     # the previous group block is clamped there, so its last hop is garbage.
     first = (pl.program_id(1) == 0)
     prev_cached = None
     for g in range(group):
-        cur = dot.prep(cur_ref[0, g])              # (n1/2, n2): second half-frame
+        cur = dot.rhs(cur_ref[0, g], 0)            # (n1/2, n2): second half-frame
         if g == 0:
-            prev = dot.prep(prevblk_ref[0, group - 1])
+            prev = dot.rhs(prevblk_ref[0, group - 1], 0)
             pm = jnp.where(first, 0.0, 1.0).astype(jnp.float32)
             br = pm * dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
             bi = pm * dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
@@ -522,9 +535,9 @@ def _rfft_stream_kernel(prevblk_ref, cur_ref, *refs, n2h: int, mode: str,
         cr = br * twr - bi * twi
         ci = br * twi + bi * twr
         # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
-        m1 = dot(f2r, dot.prep(cr), _T2)
-        m2 = dot(f2i, dot.prep(ci), _T2)
-        m3 = dot(f2s, dot.prep(cr + ci), _T2)
+        m1 = dot(f2r, dot.rhs(cr, 1), _T2)
+        m2 = dot(f2i, dot.rhs(ci, 1), _T2)
+        m3 = dot(f2s, dot.rhs(cr + ci, 1), _T2)
         er = m1 - m2
         ei = m3 - m1 - m2
         nyq = er[n2h, 0]
@@ -608,14 +621,14 @@ def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str,
     _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
                       sems, grid_rank=2)
     dot = _Dot(mode)
-    qr = dot.prep(qr_s[...])
-    qi = dot.prep(qi_s[...])
-    qs = dot.prep(qs_s[...])
+    qr = dot.rhs(qr_s[...], 0)
+    qi = dot.rhs(qi_s[...], 0)
+    qs = dot.rhs(qs_s[...], 0)
     ctr = ctr_s[...]
     cti = cti_s[...]
     n1h = y_ref.shape[-2]
-    p1r = dot.prep(p1r_s[...][n1h:, :])
-    p1i = dot.prep(p1i_s[...][n1h:, :])
+    p1r = dot.lhs(p1r_s[...][n1h:, :], 1)
+    p1i = dot.lhs(p1i_s[...][n1h:, :], 1)
     for g in range(group):
         pr = pr_ref[0, g]
         pi = pi_ref[0, g]
@@ -625,14 +638,14 @@ def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str,
         cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
         pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
         # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
-        m1 = dot(dot.prep(pr), qr, _T0)
-        m2 = dot(dot.prep(pi0), qi, _T0)
-        m3 = dot(dot.prep(pr + pi0), qs, _T0)
+        m1 = dot(dot.lhs(pr, 0), qr, _T0)
+        m2 = dot(dot.lhs(pi0, 0), qi, _T0)
+        m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
         hr = m1 - m2
         hi = m3 - m1 - m2
         h2r = hr * ctr - hi * cti
         h2i = hr * cti + hi * ctr
-        sr = dot(p1r, dot.prep(h2r), _MM) - dot(p1i, dot.prep(h2i), _MM)
+        sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
         par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
         parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
         y_ref[0, g] = scale * (2.0 * sr - x0 + nyq * parity)
