@@ -224,20 +224,75 @@ class PartitionedConvolve:
     @staticmethod
     def process(spectra: Split, state: PartitionedState, x: jax.Array,
                 backend: Optional[str] = None) -> Tuple[PartitionedState, jax.Array]:
-        """Stream a signal whose length is a multiple of the hop via lax.scan."""
-        h = state.prev.shape[-1]
+        """Stream a signal whose length is a multiple of the hop.
+
+        Semantically identical to scanning :meth:`step` hop by hop, but all
+        hops advance in one batched pass (:meth:`process_block`) — on TPU a
+        sequential per-hop scan is dispatch-latency bound (a small section
+        runs dozens of sub-hops per outer block)."""
+        return PartitionedConvolve.process_block(spectra, state, x,
+                                                 backend=backend)
+
+    @staticmethod
+    def process_block(spectra: Split, state: PartitionedState, x: jax.Array,
+                      backend: Optional[str] = None,
+                      mac_backend: str = "auto"
+                      ) -> Tuple[PartitionedState, jax.Array]:
+        """Advance the streaming engine by all of ``x``'s hops at once.
+
+        The reference advances one hop per audio callback
+        (PartitionedConvolve::process); here the whole block's spectra batch
+        through one rFFT, the ring history joins them as the leading rows of
+        the lag-MAC window (exactly the zero-pad rows of the offline path,
+        but carrying real state), and one riFFT emits every hop. The returned
+        state is slot-normalised (pos = 0) — an equivalent state under
+        :meth:`step`'s ``(pos - 1 - s) mod P`` slot mapping."""
+        h = spectra.shape[-1]
+        n = 2 * h
+        p = spectra.shape[-2]
         L = x.shape[-1]
         if L % h:
             raise ValueError(f"signal length {L} not a multiple of hop {h}")
         t = L // h
-        blocks = jnp.moveaxis(x.reshape(*x.shape[:-1], t, h), -2, 0)
+        lead = x.shape[:-1]
+        blocks = x.reshape(*lead, t, h)
 
-        def body(st, blk):
-            return PartitionedConvolve.step(spectra, st, blk, backend=backend)
+        # Frames [hop_{j-1} | hop_j] with hop_{-1} = carried previous block.
+        prev_rows = jnp.concatenate(
+            [state.prev[..., None, :], blocks[..., :-1, :]], axis=-2)
+        frames = jnp.concatenate([prev_rows, blocks], axis=-1)
+        xre, xim = fft_api.rfft(frames, backend=backend)      # (..., T, K)
 
-        state, outs = jax.lax.scan(body, state, blocks)
-        y = jnp.moveaxis(outs, 0, -2).reshape(*x.shape[:-1], L)
-        return state, y
+        # Ring history ordered oldest-first: slot (pos + k) mod P holds the
+        # spectrum of age P - k (see step()'s slot mapping).
+        order = (state.pos + jnp.arange(p, dtype=jnp.int32)) % p
+        hist_re = jnp.take(state.ring.re, order, axis=-2)
+        hist_im = jnp.take(state.ring.im, order, axis=-2)
+        xp_re = jnp.concatenate([hist_re, xre], axis=-2)      # (..., P+T, K)
+        xp_im = jnp.concatenate([hist_im, xim], axis=-2)
+        h_re = jnp.broadcast_to(spectra.re, lead + spectra.re.shape[-2:])
+        h_im = jnp.broadcast_to(spectra.im, lead + spectra.im.shape[-2:])
+        acc_re, acc_im = _lag_mac_dispatch(xp_re, xp_im, h_re, h_im, t,
+                                           mac_backend)
+
+        from ..fft import pallas_fft
+        scale = 1.0 / (4.0 * n)
+        if (backend == "pallas" and pallas_fft.real_eligible(n)
+                and acc_re.dtype != jnp.float64):
+            out = pallas_fft.rifft_packed_tail(acc_re, acc_im, scale=scale)
+        else:
+            y = fft_api.rifft(acc_re, acc_im, backend=backend) * scale
+            out = y[..., h:]
+
+        # New state: newest P spectra, slot-normalised to pos = 0.
+        last_re = xp_re[..., -p:, :]
+        last_im = xp_im[..., -p:, :]
+        new_state = PartitionedState(
+            prev=blocks[..., -1, :],
+            ring=Split(last_re, last_im),
+            pos=jnp.zeros((), jnp.int32),
+        )
+        return new_state, out.reshape(*lead, L)
 
     @staticmethod
     def process_offline(spectra: Split, x: jax.Array,

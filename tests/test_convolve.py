@@ -254,3 +254,58 @@ def test_offline_tail_matches_sectioned(rng):
     err = y_t - y_r
     snr = 10 * np.log10((y_r * y_r).sum() / max((err * err).sum(), 1e-300))
     assert snr > 90.0
+
+
+def test_process_block_matches_step_scan(rng):
+    """The batched multi-hop advance == scanning step() hop by hop, including
+    state carry across calls and a non-trivial starting ring position."""
+    import jax
+    import jax.numpy as jnp
+    from hisstools_library_tpu.core.types import Split
+    from hisstools_library_tpu.models import partitioned as part
+
+    fft_size, h = 256, 128
+    ir = (rng.standard_normal(900) * 0.3).astype(np.float32)  # P = 7 + pad
+    spec = part.impulse_spectra(ir[None], fft_size, 0, 0)
+    spec1 = Split(spec.re[0], spec.im[0])
+    x = rng.standard_normal((2, h * 11)).astype(np.float32)
+    P = spec1.shape[-2]
+
+    def fresh_state():
+        from hisstools_library_tpu.core.types import Split as S
+        return part.PartitionedState(
+            prev=jnp.zeros((2, h), jnp.float32),
+            ring=S(jnp.zeros((2, P, h), jnp.float32),
+                   jnp.zeros((2, P, h), jnp.float32)),
+            pos=jnp.zeros((), jnp.int32))
+
+    # Reference: pure step scan (advance a few hops first so pos != 0).
+    st_a = fresh_state()
+    outs = []
+    for j in range(11):
+        st_a, y = part.PartitionedConvolve.step(
+            spec1, st_a, jnp.asarray(x[:, j * h:(j + 1) * h]))
+        outs.append(np.asarray(y))
+    y_scan = np.concatenate(outs, axis=-1)
+
+    # Batched: warm up 3 hops via step (pos = 3), then one process_block.
+    st_b = fresh_state()
+    for j in range(3):
+        st_b, y = part.PartitionedConvolve.step(
+            spec1, st_b, jnp.asarray(x[:, j * h:(j + 1) * h]))
+    st_b, y_blk = part.PartitionedConvolve.process_block(
+        spec1, st_b, jnp.asarray(x[:, 3 * h:]))
+    y_mixed = np.concatenate([y_scan[:, :3 * h], np.asarray(y_blk)], axis=-1)
+
+    ref = y_scan.astype(np.float64)
+    d = y_mixed - ref
+    snr = 10 * np.log10((ref * ref).sum() / max((d * d).sum(), 1e-300))
+    assert snr > 110.0
+
+    # And the state continues identically: one more step from both.
+    nxt = jnp.asarray(rng.standard_normal((2, h)).astype(np.float32))
+    _, ya = part.PartitionedConvolve.step(spec1, st_a, nxt)
+    _, yb = part.PartitionedConvolve.step(spec1, st_b, nxt)
+    da = np.asarray(ya, np.float64) - np.asarray(yb, np.float64)
+    ra = np.asarray(ya, np.float64)
+    assert 10 * np.log10((ra * ra).sum() / max((da * da).sum(), 1e-300)) > 110.0
