@@ -515,7 +515,6 @@ def _rfft_stream_kernel(prevblk_ref, cur_ref, *refs, n2h: int, mode: str,
     f2r = dot.lhs(f2r_s[...], 0)
     f2i = dot.lhs(f2i_s[...], 0)
     f2s = dot.lhs(f2s_s[...], 0)
-    n1h = cur_ref.shape[-2]
     # Zero the previous-hop contribution only on the very first hop (t == 0):
     # the previous group block is clamped there, so its last hop is garbage.
     first = (pl.program_id(1) == 0)

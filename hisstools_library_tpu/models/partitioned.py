@@ -247,21 +247,31 @@ class PartitionedConvolve:
         but carrying real state), and one riFFT emits every hop. The returned
         state is slot-normalised (pos = 0) — an equivalent state under
         :meth:`step`'s ``(pos - 1 - s) mod P`` slot mapping."""
+        from ..fft import pallas_fft
+
         h = spectra.shape[-1]
         n = 2 * h
         p = spectra.shape[-2]
         L = x.shape[-1]
         if L % h:
             raise ValueError(f"signal length {L} not a multiple of hop {h}")
+        if L == 0:
+            return state, jnp.zeros_like(x)
         t = L // h
         lead = x.shape[:-1]
         blocks = x.reshape(*lead, t, h)
 
         # Frames [hop_{j-1} | hop_j] with hop_{-1} = carried previous block.
+        # (Routing this through the overlap-save stream kernel was measured
+        # SLOWER here: the prepended history row makes the hop count T+1,
+        # which usually has no usable hop-group divisor and degrades that
+        # kernel to ungrouped grid steps.)
         prev_rows = jnp.concatenate(
             [state.prev[..., None, :], blocks[..., :-1, :]], axis=-2)
         frames = jnp.concatenate([prev_rows, blocks], axis=-1)
         xre, xim = fft_api.rfft(frames, backend=backend)      # (..., T, K)
+        fused_tail = (backend == "pallas" and pallas_fft.stream_feasible(n)
+                      and x.dtype != jnp.float64)
 
         # Ring history ordered oldest-first: slot (pos + k) mod P holds the
         # spectrum of age P - k (see step()'s slot mapping).
@@ -275,10 +285,8 @@ class PartitionedConvolve:
         acc_re, acc_im = _lag_mac_dispatch(xp_re, xp_im, h_re, h_im, t,
                                            mac_backend)
 
-        from ..fft import pallas_fft
         scale = 1.0 / (4.0 * n)
-        if (backend == "pallas" and pallas_fft.real_eligible(n)
-                and acc_re.dtype != jnp.float64):
+        if fused_tail:  # stream_feasible covers the tail kernel's VMEM bound
             out = pallas_fft.rifft_packed_tail(acc_re, acc_im, scale=scale)
         else:
             y = fft_api.rifft(acc_re, acc_im, backend=backend) * scale

@@ -58,7 +58,7 @@ def test_sharded_bitwise_reproducible(rng):
     assert _bitwise_equal(y1, y2)
 
 
-def test_streaming_matches_offline_engine_bitexact_state(rng):
+def test_checkpoint_resume_bitexact(rng):
     """Restarting the scan from a saved (checkpointed) state pytree continues
     bitwise-identically — checkpoint/resume per SURVEY.md §5."""
     scheme = PartitionScheme((64, 256), zero_latency=True)
