@@ -7,4 +7,8 @@ from .mesh import (  # noqa: F401
     replicated,
 )
 from .halo import left_halo, shift_from_left  # noqa: F401
-from .sharded import n_to_one_offline, scheme_offline_sharded  # noqa: F401
+from .sharded import (  # noqa: F401
+    n_to_one_offline,
+    scheme_offline_sharded,
+    scheme_stream_sharded,
+)

@@ -209,3 +209,37 @@ def n_to_one_offline(mesh: Mesh, scheme: mono_mod.PartitionScheme,
         check_vma=False,
     )
     return shard_fn(ir, x)
+
+
+def scheme_stream_sharded(mesh: Mesh, ir: mono_mod.MonoIR,
+                          state: mono_mod.MonoState, x: jax.Array,
+                          backend: Optional[str] = None
+                          ) -> Tuple[mono_mod.MonoState, jax.Array]:
+    """Channel-data-parallel STREAMING step over the mesh's channel axis.
+
+    The real-time engine is sequential in time by nature, so streaming shards
+    only channels: each device advances its channel shard's state through
+    mono.process (batched hop advance inside) with no cross-device
+    communication at all — the serving-at-scale configuration (C channels
+    spread over the channel axis; the block axis is unused here).
+
+    ``ir``/``state``: leading channel dim divisible by the channel-axis size;
+    ``x``: (C, L) with L a multiple of the scheme's block size.
+    """
+    def local(ir_local, state_local, x_local):
+        return mono_mod.process(ir_local, state_local, x_local,
+                                backend=backend)
+
+    def chan_specs(tree):
+        # Scalar leaves (the ring positions) replicate; arrays shard on the
+        # leading channel dim.
+        return jax.tree.map(
+            lambda l: P() if jnp.ndim(l) == 0 else P(CHANNEL_AXIS), tree)
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(chan_specs(ir), chan_specs(state), P(CHANNEL_AXIS)),
+        out_specs=(chan_specs(state), P(CHANNEL_AXIS)),
+        check_vma=False,
+    )
+    return shard_fn(ir, state, x)

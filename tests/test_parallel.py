@@ -141,3 +141,45 @@ def test_sharded_pallas_fused_matches_single_device(rng):
                                        backend="pallas")
     y_single = mono.process_offline(ir, jnp.asarray(x))
     assert snr_db(y_single, y_sharded) > 90.0
+
+
+def test_mesh_shape_invariance(rng):
+    """The sharded result is mesh-layout independent: 8x1, 4x2, 2x4, 1x8
+    meshes all reproduce the single-device output."""
+    scheme = PartitionScheme((512,), zero_latency=False)
+    hop = 256
+    C, L = 8, hop * 8
+    x = rng.standard_normal((C, L)).astype(np.float32)
+    irs = (rng.standard_normal((C, 1000)) * 0.2).astype(np.float32)
+    ir = mono.prepare_ir(scheme, irs, offline_tail=False)
+    y_ref = np.asarray(mono.process_offline(ir, jnp.asarray(x)), np.float64)
+
+    for ch, blk in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        mesh = make_mesh(channel=ch, block=blk)
+        y = scheme_offline_sharded(mesh, scheme, ir, jnp.asarray(x))
+        assert snr_db(y_ref, y) > 100.0, (ch, blk)
+
+
+def test_sharded_streaming_channel_parallel(rng):
+    """Channel-data-parallel streaming step == single-device streaming,
+    including the carried state across two calls."""
+    from hisstools_library_tpu.parallel import scheme_stream_sharded
+
+    mesh = make_mesh(channel=8, block=1)
+    scheme = PartitionScheme((64, 256), zero_latency=True)
+    blk = 128
+    C = 8
+    irs = (rng.standard_normal((C, 600)) * 0.3).astype(np.float32)
+    ir = mono.prepare_ir(scheme, irs, offline_tail=False)
+    x1 = jnp.asarray(rng.standard_normal((C, blk * 2)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((C, blk * 2)).astype(np.float32))
+
+    s_ref = mono.init_state(scheme, ir, batch_shape=(C,))
+    s_ref, ya_ref = mono.process(ir, s_ref, x1)
+    _, yb_ref = mono.process(ir, s_ref, x2)
+
+    s_sh = mono.init_state(scheme, ir, batch_shape=(C,))
+    s_sh, ya = scheme_stream_sharded(mesh, ir, s_sh, x1)
+    _, yb = scheme_stream_sharded(mesh, ir, s_sh, x2)
+    assert snr_db(np.asarray(ya_ref, np.float64), ya) > 110.0
+    assert snr_db(np.asarray(yb_ref, np.float64), yb) > 110.0
