@@ -206,3 +206,21 @@ def test_pallas_backend_via_api(rng):
         assert np.abs(np.asarray(re) - ore).max() / scale < 2e-5
         y = fft.rifft(re, im, backend="pallas")
         assert snr_db(2.0 * n * x.astype(np.float64), y) > 100.0
+
+
+def test_pallas_size_boundary_continuity(rng):
+    """The fused-kernel size window hands off cleanly to the staged path at
+    both boundaries (MIN_REAL_SIZE and MAX_REAL_SIZE): same packing, same
+    scaling, oracle-accurate on either side."""
+    from hisstools_library_tpu.fft import pallas_fft
+
+    sizes = [pallas_fft.MIN_REAL_SIZE // 2, pallas_fft.MIN_REAL_SIZE,
+             pallas_fft.MAX_REAL_SIZE, pallas_fft.MAX_REAL_SIZE * 2]
+    for n in sizes:
+        x = rng.standard_normal((1, n)).astype(np.float32)
+        re, im = fft.rfft(jnp.asarray(x), backend="pallas")
+        ore, oim = packed_oracle(x.astype(np.float64))
+        scale = np.abs(ore).max()
+        assert np.abs(np.asarray(re) - ore).max() / scale < 5e-5, n
+        y = fft.rifft(re, im, backend="pallas")
+        assert snr_db(2.0 * n * x.astype(np.float64), y) > 95.0, n
