@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Randomized oracle fuzzing: engines vs float64 direct convolution.
+
+Draws random (channel count, signal length, IR length, fft size, scheme,
+engine) configurations and checks every output against numpy float64
+``np.convolve`` to a hard SNR floor. CPU by default (Pallas interpret mode —
+the same programs the TPU runs); pass --tpu to fuzz on hardware.
+
+    python tools/fuzz_oracle.py --minutes 30 --seed 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=10.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--snr", type=float, default=85.0)
+    ap.add_argument("--tpu", action="store_true",
+                    help="fuzz on the default (TPU) backend instead of CPU")
+    args = ap.parse_args(argv)
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from hisstools_library_tpu.models import mono
+    from hisstools_library_tpu.models.mono import PartitionScheme
+    from hisstools_library_tpu.models.offline import FastFIR, fast_fir
+    from hisstools_library_tpu.models import partitioned as part
+    from hisstools_library_tpu.core.types import Split
+
+    rng = np.random.default_rng(args.seed)
+    deadline = time.time() + args.minutes * 60.0
+    n_cases = 0
+    failures = []
+
+    def check(tag, ref, test, cfg):
+        nonlocal n_cases
+        n_cases += 1
+        ref = np.asarray(ref, np.float64)
+        err = np.asarray(test, np.float64) - ref
+        d = (err * err).sum()
+        snr = np.inf if d == 0 else 10 * np.log10((ref * ref).sum() / d)
+        status = "ok" if snr > args.snr else "FAIL"
+        print(f"[{status}] {tag} SNR {snr:.1f} dB {cfg}", flush=True)
+        if snr <= args.snr:
+            failures.append((tag, cfg, snr))
+
+    while time.time() < deadline:
+        c = int(rng.integers(1, 5))
+        L = int(rng.integers(500, 60000))
+        irl = int(rng.integers(16, 30000))
+        amp = 10.0 ** rng.uniform(-2, 1)
+        x = (rng.standard_normal((c, L)) * amp).astype(np.float32)
+        ir = (rng.standard_normal((c, irl)) *
+              np.exp(-np.arange(irl) / max(irl / 4, 1)) * 0.3).astype(np.float32)
+        ref = np.stack([np.convolve(x[i].astype(np.float64),
+                                    ir[i].astype(np.float64))[:L]
+                        for i in range(c)])
+
+        pick = rng.integers(0, 3)
+        if pick == 0:
+            log2n = int(rng.integers(part.MIN_FFT_SIZE_LOG2, 18))
+            nfft = 1 << log2n
+            cfg = f"fast_fir c={c} L={L} ir={irl} N=2^{log2n}"
+            y = fast_fir(jnp.asarray(x), ir, fft_size=nfft, backend="pallas")
+            check("fast_fir", ref, y, cfg)
+        elif pick == 1:
+            # random valid ascending scheme
+            base = int(rng.integers(5, 9))
+            sizes = tuple(1 << (base + 2 * k)
+                          for k in range(int(rng.integers(1, 4))))
+            zl = bool(rng.integers(0, 2))
+            scheme = PartitionScheme(sizes, zero_latency=zl)
+            prep = mono.prepare_ir(scheme, ir)
+            y = mono.process_offline(prep, jnp.asarray(x), backend="pallas")
+            lat = scheme.latency
+            ref_l = np.concatenate(
+                [np.zeros((c, lat)), ref[:, :L - lat]], axis=-1)
+            cfg = f"scheme {sizes} zl={zl} c={c} L={L} ir={irl}"
+            check("scheme_offline", ref_l, y, cfg)
+        else:
+            sizes = (256, 1024)
+            scheme = PartitionScheme(sizes, zero_latency=True)
+            blk = sizes[-1] >> 1
+            Ls = max(blk, (L // blk) * blk)
+            xs = x[:, :Ls] if L >= blk else np.pad(x, ((0, 0), (0, blk - L)))
+            prep = mono.prepare_ir(scheme, ir, offline_tail=False)
+            st = mono.init_state(scheme, prep, batch_shape=(c,))
+            # split into two calls to exercise state carry
+            cut = (Ls // blk // 2) * blk
+            st, y1 = mono.process(prep, st, jnp.asarray(xs[:, :cut]))
+            _, y2 = mono.process(prep, st, jnp.asarray(xs[:, cut:]))
+            y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+            refs = np.stack([np.convolve(xs[i].astype(np.float64),
+                                         ir[i].astype(np.float64))[:Ls]
+                             for i in range(c)])
+            cfg = f"stream c={c} Ls={Ls} ir={irl} cut={cut}"
+            check("streaming", refs, y, cfg)
+
+    print(f"\n{n_cases} cases, {len(failures)} failures", flush=True)
+    if failures:
+        for f in failures:
+            print("FAILED:", f)
+        sys.exit(1)
+    print("fuzz: all cases passed")
+
+
+if __name__ == "__main__":
+    main()
