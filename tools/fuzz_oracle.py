@@ -70,7 +70,7 @@ def main(argv=None):
                                     ir[i].astype(np.float64))[:L]
                         for i in range(c)])
 
-        pick = rng.integers(0, 3)
+        pick = rng.integers(0, 4)
         if pick == 0:
             log2n = int(rng.integers(part.MIN_FFT_SIZE_LOG2, 18))
             nfft = 1 << log2n
@@ -91,6 +91,30 @@ def main(argv=None):
                 [np.zeros((c, lat)), ref[:, :L - lat]], axis=-1)
             cfg = f"scheme {sizes} zl={zl} c={c} L={L} ir={irl}"
             check("scheme_offline", ref_l, y, cfg)
+        elif pick == 3 and not args.tpu:
+            # Sharded offline on a random virtual-mesh factorisation.
+            from hisstools_library_tpu.parallel import (make_mesh,
+                                                        scheme_offline_sharded)
+            ndev = len(jax.devices())
+            facs = [(a, ndev // a) for a in (1, 2, 4, 8)
+                    if ndev % a == 0 and ndev // a >= 1]
+            ch_ax, blk_ax = facs[int(rng.integers(0, len(facs)))]
+            mesh = make_mesh(channel=ch_ax, block=blk_ax)
+            sizes = (int(1 << rng.integers(8, 13)),)
+            scheme = PartitionScheme(sizes, zero_latency=False)
+            hop = sizes[0] >> 1
+            cs = ch_ax * int(rng.integers(1, 3))
+            quant = blk_ax * hop
+            Ls = max(quant, (L // quant) * quant)
+            xs = (rng.standard_normal((cs, Ls)) * amp).astype(np.float32)
+            irs = (rng.standard_normal((cs, irl)) * 0.2).astype(np.float32)
+            prep = mono.prepare_ir(scheme, irs, offline_tail=False)
+            y = scheme_offline_sharded(mesh, scheme, prep, jnp.asarray(xs),
+                                       backend="pallas")
+            y_ref = mono.process_offline(prep, jnp.asarray(xs))
+            cfg = (f"sharded mesh={ch_ax}x{blk_ax} c={cs} L={Ls} "
+                   f"ir={irl} N={sizes[0]}")
+            check("sharded_offline", np.asarray(y_ref, np.float64), y, cfg)
         else:
             sizes = (256, 1024)
             scheme = PartitionScheme(sizes, zero_latency=True)
