@@ -11,6 +11,18 @@ Modes (BENCH_MODE env):
 - ``scheme``: the zero-latency non-uniform scheme (TD head + 256/1024/4096/16384,
   the reference kLatencyZero preset, MonoConvolve.cpp:26-31) — the real-time-
   capable engine, batched offline.
+- ``stream``: hop-aligned streaming (8192-sample blocks, batched hop advance).
+- ``latency``: per-callback latency of the sample-granular streaming path
+  (process_any, ANY block size — BENCH_BLOCK env, default 256): a chain of
+  sequentially-dependent jitted steps, one sync at the end, reporting
+  ms/block. The reference's whole design goal (MonoConvolve.cpp:26-31) is
+  bounded per-callback latency; this is its TPU measurement.
+- ``fft``: BASELINE.json config 1 — 1024-pt real FFT/iFFT round-trip
+  (- Test/FFT_Tester matched_size_test analogue).
+- ``stft``: config 2 — Hann-windowed STFT analysis/resynthesis.
+- ``tdfir``: config 3 — 64-tap time-domain FIR.
+- ``pipeline``: config 5 — IR measurement chain (deconvolve + smooth +
+  partial track; IR_Manipulation_Tester + Peak_Tester analogue).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
 convolved channel-samples per second per chip and vs_baseline is the real-time
@@ -29,6 +41,216 @@ import numpy as np
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def _sync(out):
+    # block_until_ready is a no-op under the axon remote backend; a tiny
+    # device_get forces the computation to complete.
+    np.asarray(out[..., :1])
+
+
+def _time_chain(fn, n_iters: int, rounds: int = 3):
+    """Best amortized seconds/iteration: dispatch a chain, sync once."""
+    times = []
+    for _ in range(rounds):
+        t0 = time.time()
+        out = None
+        for _ in range(n_iters):
+            out = fn()
+        _sync(out)
+        times.append((time.time() - t0) / n_iters)
+    return min(times), times
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline: float):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+def run_latency(channels: int, fs: int, irs, backend: str):
+    """Per-callback latency of the sample-granular streaming engine
+    (BENCH_MODE=latency): M sequentially-dependent process_any steps, one
+    sync; reports ms/block. BENCH_BLOCK sets the callback size (any value)."""
+    import jax
+    import jax.numpy as jnp
+    from hisstools_library_tpu.models import mono
+    from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+
+    block = int(os.environ.get("BENCH_BLOCK", "256"))
+    scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+    big_hop = scheme.sizes[-1] >> 1
+    # Enough blocks that every section (incl. the 8192-hop one) fires several
+    # times inside the timed chain.
+    m = max(2 * big_hop // block, 16)
+
+    t0 = time.time()
+    ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32, offline_tail=False)
+    jax.block_until_ready(ir.head_taps)
+    log(f"latency: zero scheme {scheme.sizes}, block {block}, chain {m} steps; "
+        f"IR prepared in {time.time() - t0:.2f}s")
+
+    rng = np.random.default_rng(1)
+    blocks = [jnp.asarray(rng.standard_normal((channels, block)), jnp.float32)
+              for _ in range(8)]
+
+    step = jax.jit(
+        lambda i, s, xx: mono.process_any(i, s, xx, backend=backend),
+        donate_argnums=(1,))
+
+    def chain():
+        s = mono.init_stream_state(scheme, ir, (channels,))
+        y = None
+        for k in range(m):
+            s, y = step(ir, s, blocks[k % len(blocks)])
+        return y
+
+    t0 = time.time()
+    _sync(chain())
+    log(f"compile+first chain {time.time() - t0:.2f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        _sync(chain())
+        times.append((time.time() - t0) / m)
+    per_block = min(times)
+    log(f"ms/block over 3 chains: {[round(t * 1e3, 3) for t in times]}")
+    rt = (block / fs) / per_block
+    log(f"per-block latency {per_block * 1e3:.3f} ms for {block} samples "
+        f"({channels}ch); budget {block / fs * 1e3:.3f} ms -> {rt:.1f}x real time")
+    emit(f"streaming per-block latency ({channels}ch, {block}-sample callbacks, "
+         f"zero-latency scheme)", per_block * 1e3, "ms/block", rt)
+
+
+def run_fft(backend: str):
+    """BASELINE config 1: 1024-pt real FFT/iFFT round trip (FFT_Tester
+    matched_size_test analogue, batched — the shape convolution engines use)."""
+    import jax
+    import jax.numpy as jnp
+    from hisstools_library_tpu.fft import api as fft_api
+
+    n = int(os.environ.get("BENCH_FFT_SIZE", "1024"))
+    batch = int(os.environ.get("BENCH_FFT_BATCH", "8192"))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+
+    fwd = jax.jit(lambda xx: fft_api.rifft(
+        *fft_api.rfft(xx, backend=backend), backend=backend))
+    _sync(fwd(x))
+    best, times = _time_chain(lambda: fwd(x), 20)
+    log(f"fft roundtrip n={n} batch={batch}: {[round(t*1e3,3) for t in times]} ms")
+    roundtrips = batch / best
+    y = fwd(x)
+    snr = _snr(np.asarray(x, np.float64) * 2 * n, np.asarray(y, np.float64))
+    log(f"round-trip SNR vs 2Nx: {snr:.1f} dB")
+    emit(f"real FFT round-trips/s (N={n}, batch {batch})", roundtrips,
+         "roundtrips/s", roundtrips * n / 48000.0)
+
+
+def run_stft(channels: int, fs: int, backend: str):
+    """BASELINE config 2: Hann-windowed STFT analysis/resynthesis."""
+    import jax
+    import jax.numpy as jnp
+    from hisstools_library_tpu.ops import stft as stft_mod
+    from hisstools_library_tpu.ops import windows
+
+    n, hop = 1024, 512
+    sig_len = int(float(os.environ.get("BENCH_SIG_SECONDS", "10")) * fs)
+    sig_len = (sig_len // hop) * hop
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((channels, sig_len)), jnp.float32)
+    w = np.asarray(windows.hann(n - 1, dtype=jnp.float64), np.float32)
+
+    def roundtrip(xx):
+        S = stft_mod.stft(xx, w, n, hop, boundary=True, backend=backend)
+        return stft_mod.istft(S, w, hop, length=sig_len, boundary=True,
+                              backend=backend)
+
+    fwd = jax.jit(roundtrip)
+    _sync(fwd(x))
+    best, times = _time_chain(lambda: fwd(x), 5)
+    log(f"stft roundtrip {channels}ch x {sig_len}: "
+        f"{[round(t*1e3,2) for t in times]} ms")
+    y = fwd(x)
+    snr = _snr(np.asarray(x[0], np.float64), np.asarray(y[0], np.float64))
+    log(f"analysis/resynthesis SNR: {snr:.1f} dB")
+    sps = channels * sig_len / best
+    emit(f"STFT analysis+resynthesis samples/s ({channels}ch, N={n}, hop {hop})",
+         sps, "samples/s/chip", sps / (channels * fs))
+
+
+def run_tdfir(channels: int, fs: int, backend: str):
+    """BASELINE config 3: 64-tap time-domain FIR (TimeDomainConvolve parity)."""
+    import jax
+    import jax.numpy as jnp
+    from hisstools_library_tpu.models import time_domain as td
+
+    taps = int(os.environ.get("BENCH_TAPS", "64"))
+    sig_len = int(float(os.environ.get("BENCH_SIG_SECONDS", "10")) * fs)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((channels, sig_len)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((channels, taps)), jnp.float32)
+
+    fwd = jax.jit(td.fir_offline)
+    _sync(fwd(x, h))
+    best, times = _time_chain(lambda: fwd(x, h), 10)
+    log(f"td fir {taps} taps {channels}ch x {sig_len}: "
+        f"{[round(t*1e3,2) for t in times]} ms")
+    y = fwd(x, h)
+    k = min(sig_len, 1 << 15)
+    ref = np.convolve(np.asarray(x[0], np.float64),
+                      np.asarray(h[0], np.float64))[:k]
+    snr = _snr(ref, np.asarray(y[0][:k], np.float64))
+    log(f"SNR vs float64 direct conv: {snr:.1f} dB")
+    sps = channels * sig_len / best
+    emit(f"time-domain FIR samples/s ({channels}ch, {taps} taps)", sps,
+         "samples/s/chip", sps / (channels * fs))
+
+
+def run_pipeline(fs: int, backend: str):
+    """BASELINE config 5: IR measurement pipeline — deconvolve the measured
+    sweep response, smooth the amplitude spectrum, track partials
+    (IR_Manipulation_Tester + Peak_Tester analogue)."""
+    import jax
+    import jax.numpy as jnp
+    from hisstools_library_tpu.models.pipeline import run_ir_pipeline
+
+    sig_len = 1 << 17
+    rng = np.random.default_rng(0)
+    t = np.arange(sig_len) / fs
+    exc = np.sin(2 * np.pi * (20.0 * (1000.0 ** (t / t[-1]))) * t)
+    ir_true = rng.standard_normal(4096) * np.exp(-np.arange(4096) / 4800.0)
+    measured = np.convolve(exc, ir_true)[:sig_len]
+
+    # run_ir_pipeline stages some steps host-side (the result carries numpy
+    # arrays), so it is timed eagerly — its internals jit their own kernels.
+    def fwd(mm, ee):
+        res = run_ir_pipeline(mm, ee, smooth_widths=(1.0, 63.0), n_peaks=16,
+                              backend=backend)
+        return res.impulse
+
+    md = jnp.asarray(measured, jnp.float32)
+    ed = jnp.asarray(exc, jnp.float32)
+    out0 = (fwd(md, ed),)
+    _sync(out0[0])
+    best, times = _time_chain(lambda: fwd(md, ed), 5)
+    log(f"ir pipeline ({sig_len} samples): {[round(t*1e3,2) for t in times]} ms")
+    s = _snr(ir_true[:2048], np.asarray(out0[0][:2048], np.float64))
+    log(f"deconvolved IR SNR vs truth (first 2048): {s:.1f} dB")
+    pps = sig_len / best
+    emit("IR measurement pipeline samples/s (deconvolve+smooth+track)", pps,
+         "samples/s/chip", pps / fs)
+
+
+def _snr(ref, test):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(test, np.float64) - ref
+    d = np.sum(err * err)
+    return np.inf if d == 0 else 10 * np.log10(np.sum(ref * ref) / max(d, 1e-300))
 
 
 def main():
@@ -69,6 +291,16 @@ def main():
     pallas_fft.set_mode(fft_mode)
 
     backend = os.environ.get("BENCH_FFT_BACKEND", "pallas")
+    if mode == "latency":
+        return run_latency(channels, fs, irs, backend)
+    if mode == "fft":
+        return run_fft(backend)
+    if mode == "stft":
+        return run_stft(channels, fs, backend)
+    if mode == "tdfir":
+        return run_tdfir(channels, fs, backend)
+    if mode == "pipeline":
+        return run_pipeline(fs, backend)
     t0 = time.time()
     if mode == "fast":
         eng = FastFIR(irs, dtype=jnp.float32, backend=backend)

@@ -67,9 +67,16 @@ def _resolve(backend: Optional[str]) -> str:
         return _DEFAULT_BACKEND
     # Platform-aware default: XLA's TPU FFT runs its twiddles in f32 and is
     # only ~40-60 dB accurate at these sizes; the pallas/matmul backends hold
-    # >100 dB there. On CPU jnp.fft is exact and fastest. (The axon plugin
-    # reports a non-"cpu"/-"tpu" backend name, hence the negative test.)
-    return "xla" if jax.default_backend() == "cpu" else "pallas"
+    # >100 dB there. On CPU jnp.fft is exact and fastest. The pallas default is
+    # gated on TPU-like platforms only (the axon plugin presents the TPU as a
+    # distinct backend name) — on any other accelerator the pltpu kernels would
+    # fail to lower, so fall back to the XLA FFT there.
+    name = jax.default_backend()
+    if name == "cpu":
+        return "xla"
+    platform = jax.devices()[0].platform
+    return "pallas" if ("tpu" in name or "axon" in name
+                        or "tpu" in platform or "axon" in platform) else "xla"
 
 
 def _log2_size(n: int) -> int:

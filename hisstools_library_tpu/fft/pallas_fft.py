@@ -317,7 +317,15 @@ def _cfft_kernel(ar_ref, ai_ref, *refs, mode: str, group: int):
 # -----------------------------------------------------------------------------
 
 def _hbm_specs(k: int):
-    return [pl.BlockSpec(memory_space=pltpu.ANY)] * k
+    return [pl.BlockSpec(memory_space=pl.ANY)] * k
+
+
+# Every grid dimension is declared "arbitrary" (sequential on one core): the
+# persistent-scratch table load (_load_tables_once) writes on the first grid
+# step and later steps read it, which a parallel/megacore-partitioned dimension
+# would break. Mosaic's default is already arbitrary; this pins the invariant.
+def _seq_grid(rank: int):
+    return pltpu.CompilerParams(dimension_semantics=("arbitrary",) * rank)
 
 
 def _pick_group(b: int, per_signal_io: int, temps: int, tables: int) -> int:
@@ -374,6 +382,7 @@ def rfft_packed(x: jax.Array, interpret: bool | None = None,
     pr, pi = pl.pallas_call(
         partial(_rfft_kernel, n2h=n2h, mode=mode or _MODE, group=g),
         grid=(b // g,),
+        compiler_params=_seq_grid(1),
         in_specs=[in_spec] + _hbm_specs(7),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, n2h, n1), jnp.float32)] * 2,
@@ -384,7 +393,9 @@ def rfft_packed(x: jax.Array, interpret: bool | None = None,
             flops=b * (4 * n1 * n1 * n2 + 8 * n1 * n2 * rows),
             bytes_accessed=8 * b * n, transcendentals=0),
     )(a, *tables)
-    return pr.reshape(*lead, n // 2), pi.reshape(*lead, n // 2)
+    # Preserve the input dtype (bf16/f16 in -> same out, matching the xla path).
+    return (pr.reshape(*lead, n // 2).astype(x.dtype),
+            pi.reshape(*lead, n // 2).astype(x.dtype))
 
 
 def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
@@ -415,6 +426,7 @@ def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
     y = pl.pallas_call(
         partial(_rifft_kernel, mode=mode or _MODE, group=g),
         grid=(b // g,),
+        compiler_params=_seq_grid(1),
         in_specs=[in_spec, in_spec] + _hbm_specs(7),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.float32),
@@ -425,7 +437,7 @@ def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
             flops=b * (8 * n2h * n2 * n1 + 4 * n1 * n1 * n2),
             bytes_accessed=8 * b * n, transcendentals=0),
     )(pr, pi, *tables)
-    return y.reshape(*lead, n)
+    return y.reshape(*lead, n).astype(re.dtype)
 
 
 def eligible(n: int) -> bool:
@@ -469,6 +481,7 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
     er, ei = pl.pallas_call(
         partial(_cfft_kernel, mode=mode or _MODE, group=g),
         grid=(b // g,),
+        compiler_params=_seq_grid(1),
         in_specs=[sig_spec, sig_spec] + _hbm_specs(6),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2,
@@ -479,7 +492,8 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
             flops=b * 8 * (n1 * n1 * n2 + n2 * n2 * n1),
             bytes_accessed=16 * b * n, transcendentals=0),
     )(ar, ai, *tables)
-    return er.reshape(*lead, n), ei.reshape(*lead, n)
+    return (er.reshape(*lead, n).astype(re.dtype),
+            ei.reshape(*lead, n).astype(re.dtype))
 
 
 # -----------------------------------------------------------------------------
@@ -598,6 +612,7 @@ def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
     pr, pi = pl.pallas_call(
         partial(_rfft_stream_kernel, n2h=n2h, mode=mode or _MODE, group=g),
         grid=(b, t // g),
+        compiler_params=_seq_grid(2),
         in_specs=[prev_spec, cur_spec] + _hbm_specs(7),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, t, n2h, n1), jnp.float32)] * 2,
@@ -687,6 +702,7 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
         partial(_rifft_tail_kernel, scale=float(scale), mode=mode or _MODE,
                 group=g),
         grid=(b, t // g),
+        compiler_params=_seq_grid(2),
         in_specs=[in_spec, in_spec] + _hbm_specs(7),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, n1h, n2), jnp.float32),

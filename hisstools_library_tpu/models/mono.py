@@ -130,6 +130,24 @@ class MonoState:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class MonoStreamState:
+    """Sample-granular streaming state: TD-head tail + one
+    :class:`partitioned.StreamState` per section. Accepts ANY callback block
+    size through :func:`process_any` (reference Convolver::process semantics,
+    Convolver.cpp:138-154 — the engine, not the caller, owns hop alignment)."""
+    head: jax.Array
+    sections: Tuple[part.StreamState, ...]
+
+    def tree_flatten(self):
+        return (self.head, self.sections), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class MonoIR:
     """Device-resident prepared impulse: head taps + per-section spectra.
 
@@ -173,15 +191,16 @@ class MonoConvolve:
 
     def set(self, ir, dtype=jnp.float32, request_resize: bool = True,
             backend: Optional[str] = None,
-            offline_tail: bool = False) -> ConvolveError:
+            offline_tail: Optional[bool] = None) -> ConvolveError:
         """Prepare the IR: head taps + per-section partition spectra
         (reference MonoConvolve::set, :118-140).
 
-        ``offline_tail`` defaults OFF here: this class targets streaming, and
-        the tail costs an extra full-IR transform plus ~IR-sized device memory
-        that streaming never touches. Pass True (or use the functional
-        prepare_ir, whose default is True) when process_offline throughput
-        matters."""
+        ``offline_tail``: None (default) = lazy — the throughput-optimal
+        offline tail (an extra full-IR transform + ~IR-sized device memory
+        that streaming never touches) is built on the first
+        :meth:`process_offline` call, so class and functional
+        (:func:`prepare_ir`) usage take the same offline path. True builds it
+        eagerly; False never builds it (per-section offline processing)."""
         ir = np.asarray(ir)
         err = ConvolveError.NONE
         if ir.shape[-1] > self.max_length:
@@ -189,8 +208,12 @@ class MonoConvolve:
                 self.resize(ir.shape[-1])
             else:
                 err = ConvolveError.MEM_ALLOC_TOO_SMALL
+        self._tail_lazy = offline_tail is None
+        self._ir_host = ir
+        self._dtype = dtype
+        self._backend = backend
         self.ir = prepare_ir(self.scheme, ir, self.max_length, dtype, backend,
-                             offline_tail=offline_tail)
+                             offline_tail=bool(offline_tail))
         self.length = ir.shape[-1]
         return err
 
@@ -201,15 +224,34 @@ class MonoConvolve:
 
     @property
     def block_size(self) -> int:
-        """Smallest supported streaming block (the largest section's hop)."""
+        """Throughput-path block quantum (the largest section's hop).
+        :meth:`process` requires multiples of this; :meth:`process_any`
+        accepts any block length."""
         return self.scheme.sizes[-1] >> 1
 
     def process(self, state: MonoState, x: jax.Array,
                 backend: Optional[str] = None) -> Tuple[MonoState, jax.Array]:
         return process(self.ir, state, x, backend=backend)
 
+    def init_stream_state(self, batch_shape=(), dtype=jnp.float32
+                          ) -> MonoStreamState:
+        if self.ir is None:
+            raise ConvolveException(ConvolveError.MEM_UNAVAILABLE, "no IR set")
+        return init_stream_state(self.scheme, self.ir, batch_shape, dtype)
+
+    def process_any(self, state: MonoStreamState, x: jax.Array,
+                    backend: Optional[str] = None
+                    ) -> Tuple[MonoStreamState, jax.Array]:
+        """Stream a block of ANY length (sample-granular real-time path)."""
+        return process_any(self.ir, state, x, backend=backend)
+
     def process_offline(self, x: jax.Array,
                         backend: Optional[str] = None) -> jax.Array:
+        if (self.ir is not None and self.ir.tail is None
+                and getattr(self, "_tail_lazy", False)):
+            # First offline use: attach the throughput-optimal tail (see set()).
+            self.ir = prepare_ir(self.scheme, self._ir_host, self.max_length,
+                                 self._dtype, self._backend, offline_tail=True)
         return process_offline(self.ir, x, backend=backend)
 
 
@@ -261,6 +303,57 @@ def init_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),
             pos=jnp.zeros((), jnp.int32),
         ))
     return MonoState(jnp.zeros(batch_shape + (head_len,), dtype), tuple(sections))
+
+
+def init_stream_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),
+                      dtype=jnp.float32) -> MonoStreamState:
+    """Fresh sample-granular streaming state (any-block-size path)."""
+    head_len = max(int(ir.head_taps.shape[-1]) - 1, 1)
+    sections = []
+    for plan, spec in zip(scheme.sections(), ir.spectra):
+        h = plan.fft_size >> 1
+        p = spec.shape[-2]
+        sections.append(part.StreamState(
+            win=jnp.zeros(batch_shape + (plan.fft_size,), dtype),
+            out_buf=jnp.zeros(batch_shape + (h,), dtype),
+            phase=jnp.zeros((), jnp.int32),
+            ring=Split.zeros(batch_shape + (p, h), dtype),
+            pos=jnp.zeros((), jnp.int32),
+        ))
+    return MonoStreamState(jnp.zeros(batch_shape + (head_len,), dtype),
+                           tuple(sections))
+
+
+def stream_state_from_aligned(ir: MonoIR, state: MonoState,
+                              backend: Optional[str] = None) -> MonoStreamState:
+    """Lift a hop-aligned MonoState into the sample-granular form; streaming
+    continues bit-identically from the hop boundary."""
+    sections = tuple(
+        part.PartitionedConvolve.stream_from_aligned(spec, sec, backend)
+        for spec, sec in zip(ir.spectra, state.sections))
+    return MonoStreamState(state.head, sections)
+
+
+def process_any(ir: MonoIR, state: MonoStreamState, x: jax.Array,
+                backend: Optional[str] = None
+                ) -> Tuple[MonoStreamState, jax.Array]:
+    """Stream a block of ANY length through the scheme. Pure/jittable (the
+    block length is static per jit specialisation; every hop phase is dynamic
+    state). Each section fires its FFT only on its own hop boundaries — the
+    reference's per-section RW counters (PartitionedConvolve.cpp:243-385)
+    threaded through MonoConvolve::process (MonoConvolve.cpp:179-201)."""
+    out = jnp.zeros_like(x)
+    head_state = state.head
+    if ir.head_taps.shape[-1]:
+        head_state, y = td.TimeDomainConvolve.process(ir.head_taps, state.head, x)
+        out = out + y
+    new_sections = []
+    for spec, sec_state in zip(ir.spectra, state.sections):
+        sec_state, y = part.PartitionedConvolve.step_any(spec, sec_state, x,
+                                                         backend=backend)
+        new_sections.append(sec_state)
+        out = out + y
+    return MonoStreamState(head_state, tuple(new_sections)), out
 
 
 def process(ir: MonoIR, state: MonoState, x: jax.Array,

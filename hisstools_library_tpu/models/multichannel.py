@@ -147,16 +147,65 @@ class Convolver:
         """ins: (N, L) -> outs (M, L) [parallel: (C, L) -> (C, L)]; streaming."""
         return process(self.ir, state, ins, self.parallel, backend=backend)
 
+    def init_stream_state(self, dtype=jnp.float32) -> mono.MonoStreamState:
+        """Fresh sample-granular state for :meth:`process_any`."""
+        if self.ir is None:
+            self.prepare(dtype)
+        batch = (self.num_ins,) if self.parallel else (self.num_outs, self.num_ins)
+        return mono.init_stream_state(self.scheme, self.ir, batch, dtype)
+
+    def process_any(self, state: mono.MonoStreamState, ins: jax.Array,
+                    backend: Optional[str] = None
+                    ) -> Tuple[mono.MonoStreamState, jax.Array]:
+        """Streaming step accepting ANY block length (reference
+        Convolver::process takes arbitrary numSamples, Convolver.cpp:138-154)."""
+        return process_any(self.ir, state, ins, self.parallel, backend=backend)
+
     def process_offline(self, ins: jax.Array,
                         backend: Optional[str] = None) -> jax.Array:
         return process_offline(self.ir, ins, self.parallel, backend=backend)
 
-    def reset(self, dtype=jnp.float32) -> mono.MonoState:
-        """Fresh streaming state (reference Convolver::reset, :80-104)."""
-        return self.init_state(dtype)
+    def reset(self, in_chan: Optional[int] = None, out_chan: Optional[int] = None,
+              state: Optional[mono.MonoState] = None,
+              dtype=jnp.float32) -> mono.MonoState:
+        """Streaming-state reset (reference Convolver::reset, :80-104).
+
+        With no channel arguments returns a fresh full state. With channel
+        arguments (and the current ``state``) zeroes only that channel's
+        history, matching the reference's per-channel reset semantics."""
+        if in_chan is None and out_chan is None:
+            return self.init_state(dtype)
+        if state is None:
+            raise ConvolveException(ConvolveError.MEM_UNAVAILABLE,
+                                    "per-channel reset needs the current state")
+        if self.parallel:
+            if in_chan is None or in_chan >= self.num_ins:
+                raise ConvolveException(ConvolveError.IN_CHAN_OUT_OF_RANGE,
+                                        str(in_chan))
+            idx = (in_chan,)
+        else:
+            if out_chan is None or out_chan >= self.num_outs:
+                raise ConvolveException(ConvolveError.OUT_CHAN_OUT_OF_RANGE,
+                                        str(out_chan))
+            if in_chan is None or in_chan >= self.num_ins:
+                raise ConvolveException(ConvolveError.IN_CHAN_OUT_OF_RANGE,
+                                        str(in_chan))
+            idx = (out_chan, in_chan)
+        return reset_channel(state, idx)
 
 
 # -- pure functions ---------------------------------------------------------------
+
+def reset_channel(state, idx: Tuple[int, ...]):
+    """Zero one channel's streaming history in a state pytree.
+
+    ``idx`` indexes the batch prefix — ``(chan,)`` for parallel routing or
+    ``(out_chan, in_chan)`` for N2M. Scalar leaves (the shared ring position)
+    are untouched: a zeroed ring is a fresh engine at any slot position, so the
+    reset channel restarts exactly like a new state while others keep phase
+    (reference Convolver::reset resets one MonoConvolve, Convolver.cpp:80-104)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: leaf if leaf.ndim == 0 else leaf.at[idx].set(0), state)
 
 def process(ir: mono.MonoIR, state: mono.MonoState, ins: jax.Array,
             parallel: bool, backend: Optional[str] = None
@@ -169,6 +218,19 @@ def process(ir: mono.MonoIR, state: mono.MonoState, ins: jax.Array,
     m = ir.head_taps.shape[0]
     ins_b = jnp.broadcast_to(ins[None], (m,) + ins.shape)
     new_state, y = mono.process(ir, state, ins_b, backend=backend)
+    return new_state, jnp.sum(y, axis=-2)
+
+
+def process_any(ir: mono.MonoIR, state: mono.MonoStreamState, ins: jax.Array,
+                parallel: bool, backend: Optional[str] = None
+                ) -> Tuple[mono.MonoStreamState, jax.Array]:
+    """Sample-granular multichannel step: any block length, same routing as
+    :func:`process`."""
+    if parallel:
+        return mono.process_any(ir, state, ins, backend=backend)
+    m = ir.head_taps.shape[0]
+    ins_b = jnp.broadcast_to(ins[None], (m,) + ins.shape)
+    new_state, y = mono.process_any(ir, state, ins_b, backend=backend)
     return new_state, jnp.sum(y, axis=-2)
 
 

@@ -148,6 +148,39 @@ class PartitionedState:
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StreamState:
+    """Sample-granular streaming state for arbitrary callback block sizes.
+
+    The reference's RW-counter main loop (PartitionedConvolve.cpp:243-385)
+    stages partial hops in dual input copies, doles output out of the last
+    iFFT's store, and fires the FFT only when the counter crosses a hop
+    boundary (the ``tillNextFFT`` sizing, :298-300). This pytree is that
+    machinery made explicit and functional:
+
+    - ``win``:     last N consumed input samples (the staging copies),
+    - ``out_buf``: the H-sample output store for the current hop period,
+    - ``phase``:   samples consumed since the last hop boundary (RW counter
+                   mod hop),
+    - ``ring``/``pos``: the frequency-domain delay line, exactly as in
+      :class:`PartitionedState`.
+    """
+
+    win: jax.Array      # (..., N)
+    out_buf: jax.Array  # (..., H)
+    phase: jax.Array    # ()  int32
+    ring: Split         # (..., P, N/2)
+    pos: jax.Array      # ()  int32
+
+    def tree_flatten(self):
+        return (self.win, self.out_buf, self.phase, self.ring, self.pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 class PartitionedConvolve:
     """Configuration holder + pure processing functions for one uniform section."""
 
@@ -187,7 +220,126 @@ class PartitionedConvolve:
             pos=jnp.zeros((), jnp.int32),
         )
 
+    def init_stream_state(self, batch_shape=(), dtype=jnp.float32) -> StreamState:
+        p = max(self.num_partitions, 1)
+        return StreamState(
+            win=jnp.zeros(batch_shape + (self.fft_size,), dtype),
+            out_buf=jnp.zeros(batch_shape + (self.hop,), dtype),
+            phase=jnp.zeros((), jnp.int32),
+            ring=Split.zeros(batch_shape + (p, self.hop), dtype),
+            pos=jnp.zeros((), jnp.int32),
+        )
+
     # -- pure functions -------------------------------------------------------
+
+    @staticmethod
+    def _emit(spectra: Split, ring: Split, pos: jax.Array,
+              backend: Optional[str] = None) -> jax.Array:
+        """Output store for the hop period starting now: MAC across partitions
+        with :meth:`step`'s slot mapping (slot ``pos - 1`` = newest spectrum),
+        riFFT, keep the overlap-save half, 1/(4N) scale."""
+        p = spectra.shape[-2]
+        h = spectra.shape[-1]
+        n = 2 * h
+        lags = (pos - 1 - jnp.arange(p, dtype=jnp.int32)) % p
+        h_re = jnp.take(spectra.re, lags, axis=-2)
+        h_im = jnp.take(spectra.im, lags, axis=-2)
+        prod = packed_mul(ring, Split(h_re, h_im))
+        acc = Split(jnp.sum(prod.re, axis=-2), jnp.sum(prod.im, axis=-2))
+        y = fft_api.rifft(acc.re, acc.im, backend=backend) * (1.0 / (4.0 * n))
+        return y[..., h:]
+
+    @staticmethod
+    def _fire(spectra: Split, ring: Split, pos: jax.Array, frame: jax.Array,
+              backend: Optional[str] = None):
+        """Hop-boundary work (reference PartitionedConvolve.cpp:352-377):
+        rFFT the completed [prev|cur] frame into the ring, then compute the
+        next hop period's output store."""
+        p = spectra.shape[-2]
+        xre, xim = fft_api.rfft(frame, backend=backend)
+        ring = Split(
+            jax.lax.dynamic_update_index_in_dim(ring.re, xre, pos, -2),
+            jax.lax.dynamic_update_index_in_dim(ring.im, xim, pos, -2))
+        pos = (pos + 1) % p
+        out = PartitionedConvolve._emit(spectra, ring, pos, backend)
+        return ring, pos, out
+
+    @staticmethod
+    def stream_from_aligned(spectra: Split, state: PartitionedState,
+                            backend: Optional[str] = None) -> StreamState:
+        """Lift a hop-aligned state into the sample-granular form (phase 0).
+
+        The output store is precomputed from the current ring — exactly what
+        the next :meth:`step` would emit — so streaming continues bit-
+        identically from the hop boundary."""
+        h = state.prev.shape[-1]
+        win = jnp.concatenate([jnp.zeros_like(state.prev), state.prev], axis=-1)
+        out_buf = PartitionedConvolve._emit(spectra, state.ring, state.pos,
+                                            backend)
+        return StreamState(win, out_buf, jnp.zeros((), jnp.int32),
+                           state.ring, state.pos)
+
+    @staticmethod
+    def stream_to_aligned(state: StreamState) -> PartitionedState:
+        """Project back to the hop-aligned form. Only valid on a hop boundary
+        (``phase == 0``) — between boundaries there is no aligned equivalent."""
+        h = state.out_buf.shape[-1]
+        return PartitionedState(prev=state.win[..., h:], ring=state.ring,
+                                pos=state.pos)
+
+    @staticmethod
+    def step_any(spectra: Split, state: StreamState, x: jax.Array,
+                 backend: Optional[str] = None
+                 ) -> Tuple[StreamState, jax.Array]:
+        """Process ANY block length — the reference's main loop semantics
+        (PartitionedConvolve.cpp:243-385): stage input, dole out the output
+        store, fire FFT/MAC/iFFT only when a hop boundary is crossed.
+
+        ``x``: (..., L) with any L >= 1 (static per jit specialisation; the
+        boundary phase is dynamic). With phase p, the number of boundary
+        crossings is k = (p + L) // H — either L // H or L // H + 1 — so the
+        block runs ``L // H`` unconditional firings plus at most one
+        ``lax.cond`` firing; between boundaries no transform work happens,
+        matching the reference's ``tillNextFFT`` scheduling."""
+        h = spectra.shape[-1]
+        n = 2 * h
+        L = x.shape[-1]
+        kfloor = L // h
+        rem = L % h
+        phase = state.phase
+        k = (phase + L) // h                       # dynamic crossing count
+        buf = jnp.concatenate([state.win, x], axis=-1)      # (..., N + L)
+        ring, pos = state.ring, state.pos
+
+        ys = []
+        for j in range(kfloor + (1 if rem else 0)):
+            start = h - phase + j * h
+            frame = jax.lax.dynamic_slice_in_dim(buf, start, n, axis=-1)
+            if j < kfloor:
+                ring, pos, y = PartitionedConvolve._fire(
+                    spectra, ring, pos, frame, backend)
+            else:
+                # The trailing partial hop may or may not complete this block.
+                ring, pos, y = jax.lax.cond(
+                    j < k,
+                    lambda r, q, f: PartitionedConvolve._fire(
+                        spectra, r, q, f, backend),
+                    lambda r, q, f: (r, q, jnp.zeros(f.shape[:-1] + (h,),
+                                                     f.dtype)),
+                    ring, pos, frame)
+            ys.append(y)
+
+        outcat = jnp.concatenate([state.out_buf] + ys, axis=-1)
+        out = jax.lax.dynamic_slice_in_dim(outcat, phase, L, axis=-1)
+        new_out = jax.lax.dynamic_slice_in_dim(outcat, k * h, h, axis=-1)
+        new_state = StreamState(
+            win=buf[..., -n:],
+            out_buf=new_out,
+            phase=phase + L - k * h,
+            ring=ring,
+            pos=pos,
+        )
+        return new_state, out
 
     @staticmethod
     def step(spectra: Split, state: PartitionedState, block: jax.Array,

@@ -36,13 +36,17 @@ def stat_max(x):
 
 
 def stat_min_position(x):
+    """Index of the minimum. The reference returns double (Statistics.hpp:79);
+    here the exact integer index is returned — an f32 cast would lose exactness
+    above 2^24 and TPU has no native f64. Cast at the call site if needed."""
     x = _asf(x)
-    return jnp.argmin(x, axis=-1).astype(jnp.float32) if x.shape[-1] else jnp.asarray(-jnp.inf)
+    return jnp.argmin(x, axis=-1) if x.shape[-1] else jnp.asarray(-jnp.inf)
 
 
 def stat_max_position(x):
+    """Index of the maximum (exact integer; see :func:`stat_min_position`)."""
     x = _asf(x)
-    return jnp.argmax(x, axis=-1).astype(jnp.float32) if x.shape[-1] else jnp.asarray(-jnp.inf)
+    return jnp.argmax(x, axis=-1) if x.shape[-1] else jnp.asarray(-jnp.inf)
 
 
 def stat_count_above(x, threshold):
