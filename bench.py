@@ -119,6 +119,30 @@ def run_latency(channels: int, fs: int, irs, backend: str):
         times.append((time.time() - t0) / m)
     per_block = min(times)
     log(f"ms/block over 3 chains: {[round(t * 1e3, 3) for t in times]}")
+
+    # Device-side per-block cost: the same M steps as ONE lax.scan inside one
+    # jit — no per-callback host dispatch. The gap to the chain number above
+    # is the axon-tunnel dispatch overhead a local runtime would not pay.
+    xs_scan = jnp.stack([blocks[k % len(blocks)] for k in range(m)], axis=0)
+
+    @jax.jit
+    def scan_chain(i, s0, xs):
+        def body(s, xb):
+            s, y = mono.process_any(i, s, xb, backend=backend)
+            return s, y[..., :1]
+        return jax.lax.scan(body, s0, xs)
+
+    s0 = mono.init_stream_state(scheme, ir, (channels,))
+    t0 = time.time()
+    _sync(scan_chain(ir, s0, xs_scan)[1])
+    log(f"scan compile+first {time.time() - t0:.2f}s")
+    ts = []
+    for _ in range(3):
+        s0 = mono.init_stream_state(scheme, ir, (channels,))
+        t0 = time.time()
+        _sync(scan_chain(ir, s0, xs_scan)[1])
+        ts.append((time.time() - t0) / m)
+    log(f"device-only (lax.scan) ms/block: {[round(t * 1e3, 3) for t in ts]}")
     rt = (block / fs) / per_block
     log(f"per-block latency {per_block * 1e3:.3f} ms for {block} samples "
         f"({channels}ch); budget {block / fs * 1e3:.3f} ms -> {rt:.1f}x real time")

@@ -56,11 +56,15 @@ from . import matmul_fft
 
 # Real sizes handled by the fused real kernels; complex sizes by the complex one.
 # Below MIN the XLA-fused dense matmul (matmul_fft direct path) is already one
-# pass; above MAX the working set outgrows VMEM.
+# pass. Up to MAX_SINGLE_REAL the whole four-step transform runs in ONE kernel;
+# 2^18..2^20 (the engine's full validated range, PartitionedConvolve.h:18-19)
+# exceed the 16 MB scoped-VMEM limit in one kernel (tables alone reach ~22 MB
+# at 2^20), so they run as a SPLIT pair of kernels — stage-1+twiddle and
+# stage-2+packing — with the k1 axis chunked across grid steps: two HBM round
+# trips instead of the staged matmul path's four-plus.
 MIN_REAL_SIZE = 4096
-# 2^18 exceeds the 16 MB scoped-VMEM limit even ungrouped (tables ~5.8 MB +
-# double-buffered io + no-reuse temps); the staged matmul path covers larger.
-MAX_REAL_SIZE = 1 << 17
+MAX_SINGLE_REAL = 1 << 17
+MAX_REAL_SIZE = 1 << 20
 MIN_COMPLEX_SIZE = 2048
 MAX_COMPLEX_SIZE = 1 << 17
 
@@ -363,6 +367,15 @@ def rfft_packed(x: jax.Array, interpret: bool | None = None,
         return matmul_fft.rfft_packed(x, core=fft_split)
     if interpret is None:
         interpret = _interpret_default()
+    if n > MAX_SINGLE_REAL:
+        m = mode or _MODE
+        if m == "highest" and n >= (1 << 20):
+            # HIGHEST-precision dots split both operands internally; at 2^20
+            # the n1=2048 resident operands push that internal scratch past
+            # VMEM (the TPU compiler aborts — measured round 2). The staged
+            # matmul path keeps HIGHEST quality with XLA-managed temps.
+            return matmul_fft.rfft_packed(x, core=fft_split)
+        return _rfft_packed_split(x, interpret, m)
     n1, n2 = _split_real(n)
     n2h = n2 // 2
     rows = _pad8(n2h + 1)
@@ -407,6 +420,11 @@ def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
         return matmul_fft.rifft_packed(re, im, core=fft_split)
     if interpret is None:
         interpret = _interpret_default()
+    if n > MAX_SINGLE_REAL:
+        m = mode or _MODE
+        if m == "highest" and n >= (1 << 20):
+            return matmul_fft.rifft_packed(re, im, core=fft_split)
+        return _rifft_packed_split(re, im, interpret, m)
     n1, n2 = _split_real(n)
     n2h = n2 // 2
     lead = re.shape[:-1]
@@ -437,6 +455,290 @@ def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
             flops=b * (8 * n2h * n2 * n1 + 4 * n1 * n1 * n2),
             bytes_accessed=8 * b * n, transcendentals=0),
     )(pr, pi, *tables)
+    return y.reshape(*lead, n).astype(re.dtype)
+
+
+# -----------------------------------------------------------------------------
+# Split-pair kernels for N = 2^18..2^20: stage-1+twiddle, then stage-2+packing,
+# with the k1 axis chunked over grid steps. Tables that stay whole inside a
+# kernel are PRE-STACKED host-side for bf16x3 (the in-kernel concat would be
+# re-executed every grid step and double the scratch); chunked tables and data
+# blocks stack in-kernel as usual (small).
+# -----------------------------------------------------------------------------
+
+def _prep_operand(t, axis: int, side: str, mode: str) -> jax.Array:
+    """Mode-ready dense operand: f32 passthrough, or the bf16x3 stacked layout
+    ([h|h|l] for lhs, [h|l|h] for rhs) along the contraction axis.
+
+    The hi/lo split is computed with ``lax.reduce_precision``, NOT the
+    in-kernel ``x - bf16(x).astype(f32)`` form: outside Mosaic, XLA's
+    excess-precision simplification folds the upcast-after-downcast pair to
+    identity, making lo == 0 and silently degrading the whole pipeline to
+    single-pass bf16 (~55 dB — measured on hardware, round 2)."""
+    t = jnp.asarray(t, jnp.float32)
+    if mode != "bf16x3":
+        return t
+    tr = jax.lax.reduce_precision(t, exponent_bits=8, mantissa_bits=7)
+    th = tr.astype(jnp.bfloat16)
+    tl = (t - tr).astype(jnp.bfloat16)
+    order = [th, th, tl] if side == "L" else [th, tl, th]
+    return jnp.concatenate(order, axis=axis)
+
+
+def _tag(dot: "_Dot", side: str, x):
+    """Wrap a pre-stacked operand so _Dot skips the in-kernel stack."""
+    return (side, x) if dot.split else x
+
+
+def _split_real_pair(n: int) -> Tuple[int, int]:
+    """Factorisation for the split-pair path. At 2^20 the square split's
+    per-stage working sets sit at the scoped-VMEM edge (the remote compiler
+    aborts); an asymmetric n1 = 4*n2 split shrinks the f2/q tables (~n2^2)
+    and the stage-C resident block (n1*n2 is fixed = N) enough to compile."""
+    if n >= (1 << 20):
+        log2n = n.bit_length() - 1
+        n1 = 1 << ((log2n + 2) // 2)
+        return n1, n // n1
+    return _split_real(n)
+
+
+def _pick_k1_rows(n1: int, resident_bytes: int, per_row_bytes: int) -> int:
+    """Largest k1 chunk (rows per grid step, dividing n1) whose resident
+    working set + double-buffered per-row blocks fit the VMEM target. Chunks
+    are multiples of 128 (Mosaic requires block minor dims divisible by 128
+    unless equal to the array dim — the chunked axis is minor in some specs)."""
+    for r in (n1, 512, 256, 128):
+        if r <= n1 and n1 % r == 0:
+            if resident_bytes + 2 * r * per_row_bytes <= _VMEM_TARGET:
+                return r
+    return 0
+
+
+def _rfft_stage1_kernel(a_ref, f1r_ref, f1i_ref, twr_ref, twi_ref,
+                        cr_ref, ci_ref, *, mode: str):
+    """C[k1_blk, b] = (F1[k1_blk, :] @ a) * W_N^(b k1): one k1 chunk per step.
+    ``a`` is resident (same block revisited across the k1 grid dim)."""
+    dot = _Dot(mode)
+    a = _tag(dot, "R", a_ref[0])
+    f1r = dot.lhs(f1r_ref[...], 1)
+    f1i = dot.lhs(f1i_ref[...], 1)
+    br = dot(f1r, a, _MM)
+    bi = dot(f1i, a, _MM)
+    twr = twr_ref[...]
+    twi = twi_ref[...]
+    cr_ref[0] = br * twr - bi * twi
+    ci_ref[0] = br * twi + bi * twr
+
+
+def _rfft_stage2_kernel(cr_ref, ci_ref, *refs, n2h: int, mode: str):
+    """E[k2, k1_blk] = sum_b C[k1_blk, b] F2[b, k2] with the packed layout
+    emitted directly (Nyquist into im[0] on the k1 block containing column 0).
+    4-matmul complex product (not Karatsuba): at 2^20 the third (sum) table
+    would push the whole-table scratch past VMEM."""
+    hbm = refs[:2]
+    pr_ref, pi_ref = refs[2:4]
+    f2r_s, f2i_s, sems = refs[4:]
+    _load_tables_once(hbm, (f2r_s, f2i_s), sems, grid_rank=2)
+    dot = _Dot(mode)
+    f2r = _tag(dot, "L", f2r_s[...])
+    f2i = _tag(dot, "L", f2i_s[...])
+    cr = dot.rhs(cr_ref[0], 1)
+    ci = dot.rhs(ci_ref[0], 1)
+    er = dot(f2r, cr, _T2) - dot(f2i, ci, _T2)    # (rows_pad, R)
+    ei = dot(f2r, ci, _T2) + dot(f2i, cr, _T2)
+    nyq = er[n2h, 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
+    at00 = (rows == 0) & (cols == 0) & (pl.program_id(1) == 0)
+    pr_ref[0] = er[:n2h, :]
+    pi_ref[0] = jnp.where(at00, nyq, ei[:n2h, :])
+
+
+def _rfft_packed_split(x: jax.Array, interpret: bool, mode: str
+                       ) -> Tuple[jax.Array, jax.Array]:
+    n = x.shape[-1]
+    n1, n2 = _split_real_pair(n)
+    n2h = n2 // 2
+    rows = _pad8(n2h + 1)
+    lead = x.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    f1r, f1i, twr, twi, f2r, f2i, f2s = _fwd_tables(n1, n2)
+
+    # Stage 1: a resident per signal (pre-stacked for bf16x3), k1 chunked.
+    a = _prep_operand(x.reshape(b, n1, n2), 1, "R", mode)
+    a_rows = a.shape[1]
+    resident = 2 * a_rows * n2 * (2 if mode == "bf16x3" else 4) // 2
+    r1 = _pick_k1_rows(n1, resident, per_row_bytes=8 * (n1 + n2) + 8 * n2)
+    if r1 == 0:
+        raise ValueError(f"split stage-1 infeasible for N={n}")
+    spec_a = pl.BlockSpec((1, a_rows, n2), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_f1 = pl.BlockSpec((r1, n1), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    spec_tw = pl.BlockSpec((r1, n2), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, r1, n2), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    cr, ci = pl.pallas_call(
+        partial(_rfft_stage1_kernel, mode=mode),
+        grid=(b, n1 // r1),
+        compiler_params=_seq_grid(2),
+        in_specs=[spec_a, spec_f1, spec_f1, spec_tw, spec_tw],
+        out_specs=[spec_c, spec_c],
+        out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(flops=b * 4 * n1 * n1 * n2,
+                                      bytes_accessed=12 * b * n,
+                                      transcendentals=0),
+    )(a, jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(twr),
+      jnp.asarray(twi))
+
+    # Stage 2: f2 tables whole (scratch DMA, pre-stacked), k1 chunked.
+    f2rj = _prep_operand(f2r, 0, "L", mode)
+    f2ij = _prep_operand(f2i, 0, "L", mode)
+    tbytes = sum(int(t.size) * t.dtype.itemsize for t in (f2rj, f2ij))
+    r2 = _pick_k1_rows(n1, tbytes, per_row_bytes=8 * n2 + 8 * n2h + 16 * rows)
+    if r2 == 0:
+        raise ValueError(f"split stage-2 infeasible for N={n}")
+    spec_cin = pl.BlockSpec((1, r2, n2), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, n2h, r2), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    pr, pi = pl.pallas_call(
+        partial(_rfft_stage2_kernel, n2h=n2h, mode=mode),
+        grid=(b, n1 // r2),
+        compiler_params=_seq_grid(2),
+        in_specs=[spec_cin, spec_cin] + _hbm_specs(2),
+        out_specs=[spec_p, spec_p],
+        out_shape=[jax.ShapeDtypeStruct((b, n2h, n1), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM(t.shape, t.dtype)
+                        for t in (f2rj, f2ij)] +
+                       [pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(flops=b * 8 * n1 * n2 * rows,
+                                      bytes_accessed=12 * b * n,
+                                      transcendentals=0),
+    )(cr, ci, f2rj, f2ij)
+    return (pr.reshape(*lead, n // 2).astype(x.dtype),
+            pi.reshape(*lead, n // 2).astype(x.dtype))
+
+
+def _rifft_stageA_kernel(pr_ref, pi_ref, ctr_ref, cti_ref, *refs, mode: str):
+    """H'[k1_blk, r] = (sum_k2 X[k2, k1_blk] Q[k2, r]) * W_N^(-r k1): step A +
+    conjugate twiddle for one k1 chunk (X column block). 4-matmul complex
+    product (see _rfft_stage2_kernel)."""
+    hbm = refs[:2]
+    h2r_ref, h2i_ref = refs[2:4]
+    qr_s, qi_s, sems = refs[4:]
+    _load_tables_once(hbm, (qr_s, qi_s), sems, grid_rank=2)
+    dot = _Dot(mode)
+    qr = _tag(dot, "R", qr_s[...])
+    qi = _tag(dot, "R", qi_s[...])
+    pr = pr_ref[0]                                # (n2h, R)
+    pi = pi_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
+    at00 = (rows == 0) & (cols == 0) & (pl.program_id(1) == 0)
+    pi0 = jnp.where(at00, 0.0, pi)
+    prs = dot.lhs(pr, 0)
+    pis = dot.lhs(pi0, 0)
+    hr = dot(prs, qr, _T0) - dot(pis, qi, _T0)    # (R, n2)
+    hi = dot(prs, qi, _T0) + dot(pis, qr, _T0)
+    ctr = ctr_ref[...]
+    cti = cti_ref[...]
+    h2r_ref[0] = hr * ctr - hi * cti
+    h2i_ref[0] = hr * cti + hi * ctr
+
+
+def _rifft_stageC_kernel(h2r_ref, h2i_ref, p1r_ref, p1i_ref, s_ref, *,
+                         mode: str):
+    """S[s, r] += Re(P1[s, k1_blk] H'[k1_blk, r]): k1-chunked contraction
+    accumulated into the resident output block (index constant over k1)."""
+    dot = _Dot(mode)
+    part = (dot(dot.lhs(p1r_ref[...], 1), dot.rhs(h2r_ref[0], 0), _MM) -
+            dot(dot.lhs(p1i_ref[...], 1), dot.rhs(h2i_ref[0], 0), _MM))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        s_ref[0] = jnp.zeros_like(s_ref[0])
+
+    s_ref[0] += part
+
+
+def _rifft_packed_split(re: jax.Array, im: jax.Array, interpret: bool,
+                        mode: str) -> jax.Array:
+    nbins = re.shape[-1]
+    n = nbins * 2
+    n1, n2 = _split_real_pair(n)
+    n2h = n2 // 2
+    lead = re.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    qr, qi, qs, ctr, cti, p1r, p1i = _inv_tables(n1, n2)
+
+    pr = re.reshape(b, n2h, n1).astype(jnp.float32)
+    pi = im.reshape(b, n2h, n1).astype(jnp.float32)
+
+    # Stage A: q tables whole (pre-stacked rhs), X column-chunked over k1.
+    qrj = _prep_operand(qr, 0, "R", mode)
+    qij = _prep_operand(qi, 0, "R", mode)
+    tbytes = sum(int(t.size) * t.dtype.itemsize for t in (qrj, qij))
+    rA = _pick_k1_rows(n1, tbytes, per_row_bytes=8 * n2h + 24 * n2)
+    if rA == 0:
+        raise ValueError(f"split stage-A infeasible for N={n}")
+    spec_x = pl.BlockSpec((1, n2h, rA), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    spec_ct = pl.BlockSpec((rA, n2), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((1, rA, n2), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    h2r, h2i = pl.pallas_call(
+        partial(_rifft_stageA_kernel, mode=mode),
+        grid=(b, n1 // rA),
+        compiler_params=_seq_grid(2),
+        in_specs=[spec_x, spec_x, spec_ct, spec_ct] + _hbm_specs(2),
+        out_specs=[spec_h, spec_h],
+        out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM(t.shape, t.dtype)
+                        for t in (qrj, qij)] +
+                       [pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(flops=b * 8 * n2h * n2 * n1,
+                                      bytes_accessed=12 * b * n,
+                                      transcendentals=0),
+    )(pr, pi, jnp.asarray(ctr), jnp.asarray(cti), qrj, qij)
+
+    # Stage C: k1-chunked accumulation into a resident (n1, n2) block.
+    # Resident = the output block + the per-step partial-product temp (same
+    # size); per-row = one buffer of the h2 (8*n2) and p1 (8*n1) blocks — the
+    # chooser doubles it for pipelining.
+    rC = _pick_k1_rows(n1, 8 * n1 * n2, per_row_bytes=8 * (n1 + n2))
+    if rC == 0:
+        raise ValueError(f"split stage-C infeasible for N={n}")
+    spec_hin = pl.BlockSpec((1, rC, n2), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    spec_p1 = pl.BlockSpec((n1, rC), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((1, n1, n2), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sr = pl.pallas_call(
+        partial(_rifft_stageC_kernel, mode=mode),
+        grid=(b, n1 // rC),
+        compiler_params=_seq_grid(2),
+        in_specs=[spec_hin, spec_hin, spec_p1, spec_p1],
+        out_specs=spec_s,
+        out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(flops=b * 4 * n1 * n1 * n2,
+                                      bytes_accessed=16 * b * n,
+                                      transcendentals=0),
+    )(h2r, h2i, jnp.asarray(p1r), jnp.asarray(p1i))
+
+    # Combine outside the kernel (one fused XLA elementwise pass):
+    # y = 2 Re(S) - X[0] + (-1)^r Nyq  with n = r + n2*s, n2 even.
+    x0 = pr[:, 0, 0][:, None, None]
+    nyq = pi[:, 0, 0][:, None, None]
+    parity = jnp.where((jnp.arange(n2) % 2) == 0, 1.0, -1.0).astype(sr.dtype)
+    y = 2.0 * sr - x0 + nyq * parity[None, None, :]
     return y.reshape(*lead, n).astype(re.dtype)
 
 

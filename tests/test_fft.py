@@ -209,12 +209,14 @@ def test_pallas_backend_via_api(rng):
 
 
 def test_pallas_size_boundary_continuity(rng):
-    """The fused-kernel size window hands off cleanly to the staged path at
-    both boundaries (MIN_REAL_SIZE and MAX_REAL_SIZE): same packing, same
-    scaling, oracle-accurate on either side."""
+    """The fused-kernel size windows hand off cleanly at every boundary:
+    staged matmul < MIN_REAL_SIZE <= single kernel <= MAX_SINGLE_REAL <
+    split-pair kernels <= MAX_REAL_SIZE < staged matmul — same packing, same
+    scaling, oracle-accurate on all sides."""
     from hisstools_library_tpu.fft import pallas_fft
 
     sizes = [pallas_fft.MIN_REAL_SIZE // 2, pallas_fft.MIN_REAL_SIZE,
+             pallas_fft.MAX_SINGLE_REAL, pallas_fft.MAX_SINGLE_REAL * 2,
              pallas_fft.MAX_REAL_SIZE, pallas_fft.MAX_REAL_SIZE * 2]
     for n in sizes:
         x = rng.standard_normal((1, n)).astype(np.float32)

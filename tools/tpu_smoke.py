@@ -75,6 +75,23 @@ def main(argv=None):
             s = snr_db(2.0 * n * x, np.asarray(y))
             check(f"rfft/rifft {mode} N={n}", s > args.snr, f"SNR {s:.1f} dB")
 
+    # Split-pair kernels: the engine's upper size range 2^18..2^20
+    # (PartitionedConvolve.h:18-19) — stage-chunked two-kernel pipeline.
+    split_sizes = (1 << 18,) if args.fast else (1 << 18, 1 << 19, 1 << 20)
+    for mode in ("bf16x3", "highest"):
+        for n in split_sizes:
+            x = rng.standard_normal((2, n)).astype(np.float32)
+            re, im = jax.jit(
+                lambda a, m=mode: pallas_fft.rfft_packed(a, mode=m))(
+                    jnp.asarray(x))
+            y = jax.jit(
+                lambda a, b, m=mode: pallas_fft.rifft_packed(a, b, mode=m))(
+                    re, im)
+            sync(y)
+            s = snr_db(2.0 * n * x, np.asarray(y))
+            check(f"split rfft/rifft {mode} N=2^{n.bit_length() - 1}",
+                  s > args.snr, f"SNR {s:.1f} dB")
+
     # Streaming forward + tail inverse (the convolution chain kernels).
     hop, t = 32768, 8
     x = rng.standard_normal((2, t * hop)).astype(np.float32)
