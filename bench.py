@@ -281,6 +281,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hisstools_library_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+
     from hisstools_library_tpu.models import mono
     from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
     from hisstools_library_tpu.models.offline import FastFIR

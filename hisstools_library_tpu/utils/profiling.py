@@ -21,6 +21,24 @@ from typing import List, Optional
 import numpy as np
 
 
+def enable_compile_cache(path: str = None) -> str:
+    """Enable JAX's persistent compilation cache (works under the axon remote
+    compiler: measured 356 s -> 2.5 s for the bench fast path's first run).
+    Call before the first jit in benches/tools; the library itself never sets
+    process-global config. Returns the cache directory."""
+    import os
+
+    import jax
+
+    cache = path or os.environ.get(
+        "HISSTOOLS_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache
+
+
 def sync(out) -> None:
     """Force completion of a device computation (works on the axon backend)."""
     import jax

@@ -51,6 +51,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from hisstools_library_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+
     from hisstools_library_tpu.fft import pallas_fft
     from hisstools_library_tpu.fft.pallas_kernels import (lag_mac,
                                                           lag_mac_causal)
