@@ -35,6 +35,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -101,48 +102,63 @@ def run_latency(channels: int, fs: int, irs, backend: str):
         lambda i, s, xx: mono.process_any(i, s, xx, backend=backend),
         donate_argnums=(1,))
 
-    def chain():
+    def chain(steps: int):
         s = mono.init_stream_state(scheme, ir, (channels,))
         y = None
-        for k in range(m):
+        for k in range(steps):
             s, y = step(ir, s, blocks[k % len(blocks)])
         return y
 
     t0 = time.time()
-    _sync(chain())
+    _sync(chain(2 * m))
     log(f"compile+first chain {time.time() - t0:.2f}s")
 
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        _sync(chain())
-        times.append((time.time() - t0) / m)
-    per_block = min(times)
-    log(f"ms/block over 3 chains: {[round(t * 1e3, 3) for t in times]}")
+    # The axon tunnel's single sync costs ~25 ms — at M=64 that is ~0.4 ms of
+    # fake per-block cost. Time chains of M and 2M steps and take the SLOPE:
+    # the fixed sync/dispatch cost cancels, leaving the true per-block cost.
+    def best_of(steps: int, rounds: int = 3) -> float:
+        best = np.inf
+        for _ in range(rounds):
+            t0 = time.time()
+            _sync(chain(steps))
+            best = min(best, time.time() - t0)
+        return best
 
-    # Device-side per-block cost: the same M steps as ONE lax.scan inside one
-    # jit — no per-callback host dispatch. The gap to the chain number above
-    # is the axon-tunnel dispatch overhead a local runtime would not pay.
-    xs_scan = jnp.stack([blocks[k % len(blocks)] for k in range(m)], axis=0)
+    t1 = best_of(m)
+    t2 = best_of(2 * m)
+    per_block = (t2 - t1) / m
+    log(f"chain({m}) {t1 * 1e3:.1f} ms, chain({2 * m}) {t2 * 1e3:.1f} ms "
+        f"-> slope {per_block * 1e3:.3f} ms/block "
+        f"(fixed overhead {max(0.0, t1 - m * per_block) * 1e3:.1f} ms)")
 
-    @jax.jit
-    def scan_chain(i, s0, xs):
+    # Device-side per-block cost via ONE lax.scan (no per-callback dispatch),
+    # same two-length slope methodology.
+    xs_scan = jnp.stack([blocks[k % len(blocks)] for k in range(2 * m)], axis=0)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def scan_chain(i, s0, xs, steps):
         def body(s, xb):
             s, y = mono.process_any(i, s, xb, backend=backend)
             return s, y[..., :1]
-        return jax.lax.scan(body, s0, xs)
+        return jax.lax.scan(body, s0, xs[:steps])
 
-    s0 = mono.init_stream_state(scheme, ir, (channels,))
+    def scan_best(steps: int, rounds: int = 3) -> float:
+        best = np.inf
+        for _ in range(rounds):
+            s0 = mono.init_stream_state(scheme, ir, (channels,))
+            t0 = time.time()
+            _sync(scan_chain(ir, s0, xs_scan, steps)[1])
+            best = min(best, time.time() - t0)
+        return best
+
     t0 = time.time()
-    _sync(scan_chain(ir, s0, xs_scan)[1])
+    scan_best(m, 1)
+    scan_best(2 * m, 1)
     log(f"scan compile+first {time.time() - t0:.2f}s")
-    ts = []
-    for _ in range(3):
-        s0 = mono.init_stream_state(scheme, ir, (channels,))
-        t0 = time.time()
-        _sync(scan_chain(ir, s0, xs_scan)[1])
-        ts.append((time.time() - t0) / m)
-    log(f"device-only (lax.scan) ms/block: {[round(t * 1e3, 3) for t in ts]}")
+    s1 = scan_best(m)
+    s2 = scan_best(2 * m)
+    scan_block = (s2 - s1) / m
+    log(f"device-only (lax.scan slope) {scan_block * 1e3:.3f} ms/block")
     rt = (block / fs) / per_block
     log(f"per-block latency {per_block * 1e3:.3f} ms for {block} samples "
         f"({channels}ch); budget {block / fs * 1e3:.3f} ms -> {rt:.1f}x real time")

@@ -246,3 +246,126 @@ def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
 
 def lag_mac_causal_fits(t: int, p: int, bins: int) -> bool:
     return _pick_bin_tile_causal(t, p, bins) > 0
+
+
+# -----------------------------------------------------------------------------
+# Fused single-hop engine kernel (the streaming latency path).
+#
+# One hop-boundary firing of a small partitioned section — rFFT of the
+# [prev|cur] frame, ring insert, P-partition MAC, tail-only riFFT with the
+# 1/(4N) overlap-save scale — is ~50 small XLA ops taking ~0.2-0.3 ms on
+# device (op overhead, not FLOPs: the whole firing is <10 MFLOP). This kernel
+# is the entire firing as ONE Pallas program: dense packed-DFT matmuls (MXU)
+# with everything VMEM-resident. Reference analogue: the per-hop FFT->MAC->
+# iFFT block of PartitionedConvolve::process (PartitionedConvolve.cpp:352-377).
+#
+# Ring layout: oldest-first with the newest spectrum at slot P-1 — identical
+# to the generic StreamState convention at pos == 0 (models/partitioned.py),
+# so states are interchangeable between this kernel and the XLA path as long
+# as pos stays 0 (the kernel shifts slots statically and never moves pos).
+# -----------------------------------------------------------------------------
+
+_HOP_MAX_N = 1024
+_HOP_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=16)
+def _hop_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """f64-generated dense tables: M (N, N) maps a frame to the stacked packed
+    spectrum [re|im] (x2 scale, Nyquist in im[0]); W (H, N) maps a stacked
+    packed accumulation to the KEPT second half-block with 1/(4N) folded in."""
+    k = np.arange(n // 2, dtype=np.float64)
+    nn = np.arange(n, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, nn) / n
+    mr = 2.0 * np.cos(ang)
+    mi = -2.0 * np.sin(ang)
+    mi[0] = 2.0 * np.cos(np.pi * nn)              # packed Nyquist row: 2(-1)^n
+    m = np.concatenate([mr, mi], axis=0).astype(np.float32)       # (N, N)
+
+    nt = np.arange(n // 2, n, dtype=np.float64)   # kept (overlap-save) half
+    angy = 2.0 * np.pi * np.outer(nt, k) / n
+    wr = 2.0 * np.cos(angy)
+    wr[:, 0] = 1.0                                # DC coefficient
+    wi = -2.0 * np.sin(angy)
+    wi[:, 0] = np.cos(np.pi * nt)                 # Nyquist: (-1)^n
+    w = (np.concatenate([wr, wi], axis=1) / (4.0 * n)).astype(np.float32)
+    return m, w
+
+
+def hop_fire_fits(n: int, c: int, p: int) -> bool:
+    """Kernel feasibility: dense tables + all operands resident in VMEM."""
+    if n > _HOP_MAX_N or n < 16 or (n & (n - 1)):
+        return False
+    k = n // 2
+    tables = 4 * (n * n + k * n)
+    data = 4 * c * (2 * n + 6 * p * k + 8 * k)
+    return tables + data <= _HOP_VMEM_BUDGET
+
+
+def _hop_fire_kernel(frame_ref, rr_ref, ri_ref, hr_ref, hi_ref, m_ref, w_ref,
+                     orr_ref, ori_ref, y_ref, *, p: int, k: int):
+    hp = jax.lax.Precision.HIGHEST
+    f = frame_ref[...]                                            # (C, N)
+    x = jax.lax.dot_general(f, m_ref[...], (((1,), (1,)), ((), ())),
+                            precision=hp, preferred_element_type=jnp.float32)
+    xre = x[:, :k]
+    xim = x[:, k:]
+    cols = jax.lax.broadcasted_iota(jnp.int32, xre.shape, 1)
+    lane0 = cols == 0                    # packed DC/Nyquist lane (real pair)
+    acc_re = jnp.zeros_like(xre)
+    acc_im = jnp.zeros_like(xim)
+    for s in range(p):
+        # New slot s: old slot s+1 shifted up; newest (the fresh X) at P-1.
+        rre = xre if s == p - 1 else rr_ref[:, s + 1]
+        rim = xim if s == p - 1 else ri_ref[:, s + 1]
+        hr = hr_ref[:, p - 1 - s]                   # slot s holds lag p-1-s
+        hi = hi_ref[:, p - 1 - s]
+        acc_re += jnp.where(lane0, rre * hr, rre * hr - rim * hi)
+        acc_im += jnp.where(lane0, rim * hi, rre * hi + rim * hr)
+        orr_ref[:, s] = rre
+        ori_ref[:, s] = rim
+    packed = jnp.concatenate([acc_re, acc_im], axis=1)            # (C, N)
+    y_ref[...] = jax.lax.dot_general(
+        packed, w_ref[...], (((1,), (1,)), ((), ())),
+        precision=hp, preferred_element_type=jnp.float32)
+
+
+def hop_fire(frame: jax.Array, ring_re: jax.Array, ring_im: jax.Array,
+             spec_re: jax.Array, spec_im: jax.Array,
+             interpret: bool = False):
+    """One fused hop firing. ``frame``: (..., N) the completed [prev|cur]
+    frame; ``ring_*``: (..., P, N/2) oldest-first (pos == 0 convention);
+    ``spec_*``: (..., P, N/2) (broadcastable over the lead dims). Returns
+    (new_ring_re, new_ring_im, y) with y the H kept output samples, scaled."""
+    n = frame.shape[-1]
+    k = n // 2
+    lead = frame.shape[:-1]
+    c = int(np.prod(lead)) if lead else 1
+    p = ring_re.shape[-2]
+    m, w = _hop_tables(n)
+
+    f2 = frame.reshape(c, n).astype(jnp.float32)
+    rr = ring_re.reshape(c, p, k).astype(jnp.float32)
+    ri = ring_im.reshape(c, p, k).astype(jnp.float32)
+    hr = jnp.broadcast_to(spec_re, lead + (p, k)).reshape(c, p, k).astype(jnp.float32)
+    hi = jnp.broadcast_to(spec_im, lead + (p, k)).reshape(c, p, k).astype(jnp.float32)
+
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    orr, ori, y = pl.pallas_call(
+        functools.partial(_hop_fire_kernel, p=p, k=k),
+        in_specs=[vm() for _ in range(7)],
+        out_specs=[vm(), vm(), vm()],
+        out_shape=[jax.ShapeDtypeStruct((c, p, k), jnp.float32),
+                   jax.ShapeDtypeStruct((c, p, k), jnp.float32),
+                   jax.ShapeDtypeStruct((c, k), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=c * (2 * n * n + n * k + 8 * p * k),
+            bytes_accessed=4 * c * (2 * n + 6 * p * k + k) + 4 * (n * n + k * n),
+            transcendentals=0,
+        ),
+    )(f2, rr, ri, hr, hi, jnp.asarray(m), jnp.asarray(w))
+    dt = frame.dtype
+    return (orr.reshape(lead + (p, k)).astype(dt),
+            ori.reshape(lead + (p, k)).astype(dt),
+            y.reshape(lead + (k,)).astype(dt))

@@ -254,8 +254,25 @@ class PartitionedConvolve:
               backend: Optional[str] = None):
         """Hop-boundary work (reference PartitionedConvolve.cpp:352-377):
         rFFT the completed [prev|cur] frame into the ring, then compute the
-        next hop period's output store."""
+        next hop period's output store.
+
+        Small sections (N <= 1024, f32) run the whole firing as ONE fused
+        Pallas kernel (fft/pallas_kernels.hop_fire) — the XLA formulation is
+        ~50 small ops and op overhead dominates at these sizes. The kernel
+        maintains the oldest-first ring layout, which equals this function's
+        slot mapping at pos == 0; eligibility is static per section, so a
+        section either always or never uses it and pos stays 0 throughout."""
+        from ..fft import pallas_kernels as pk
+
         p = spectra.shape[-2]
+        n = frame.shape[-1]
+        lead = int(np.prod(frame.shape[:-1])) if frame.ndim > 1 else 1
+        if (backend == "pallas" and frame.dtype == jnp.float32
+                and pk.hop_fire_fits(n, lead, p)):
+            rr, ri, y = pk.hop_fire(
+                frame, ring.re, ring.im, spectra.re, spectra.im,
+                interpret=jax.default_backend() == "cpu")
+            return Split(rr, ri), pos, y
         xre, xim = fft_api.rfft(frame, backend=backend)
         ring = Split(
             jax.lax.dynamic_update_index_in_dim(ring.re, xre, pos, -2),
@@ -271,13 +288,18 @@ class PartitionedConvolve:
 
         The output store is precomputed from the current ring — exactly what
         the next :meth:`step` would emit — so streaming continues bit-
-        identically from the hop boundary."""
-        h = state.prev.shape[-1]
+        identically from the hop boundary. The ring is slot-normalised to
+        pos == 0 (oldest-first) — required by the fused hop kernel's static
+        layout and an equivalent state under the generic slot mapping."""
         win = jnp.concatenate([jnp.zeros_like(state.prev), state.prev], axis=-1)
         out_buf = PartitionedConvolve._emit(spectra, state.ring, state.pos,
                                             backend)
+        p = state.ring.shape[-2]
+        order = (state.pos + jnp.arange(p, dtype=jnp.int32)) % p
+        ring = Split(jnp.take(state.ring.re, order, axis=-2),
+                     jnp.take(state.ring.im, order, axis=-2))
         return StreamState(win, out_buf, jnp.zeros((), jnp.int32),
-                           state.ring, state.pos)
+                           ring, jnp.zeros((), jnp.int32))
 
     @staticmethod
     def stream_to_aligned(state: StreamState) -> PartitionedState:

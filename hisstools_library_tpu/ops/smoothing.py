@@ -94,6 +94,18 @@ def _use_fft(n: int, half_width: int) -> bool:
     return n > 64 and half_width > 16 and half_width * 64 > n
 
 
+@jax.jit
+def _apply_bank(padded: jax.Array, idx: jax.Array, bank: jax.Array) -> jax.Array:
+    """One filter-bank chunk: gather (.., Lc, W) windows, contract with the
+    (Lc, W) bank. HIGHEST: default MXU precision would run the f32
+    contraction in bf16 on TPU (~8-bit mantissa) — invisible on CPU where the
+    parity test runs. Jitted with bank/idx as runtime inputs so every
+    equal-shaped chunk reuses one executable."""
+    windows = jnp.take(padded, idx, axis=-1)              # (..., Lc, W)
+    return jnp.einsum("...lw,lw->...l", windows, bank,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _group_conv(seg: jax.Array, filt: np.ndarray, n_out: int, gain: float,
                 backend: Optional[str]) -> jax.Array:
     """conv(seg, filt)[w-1 : w-1+n_out] * gain — direct or FFT by size heuristic."""
@@ -158,15 +170,20 @@ def smooth(x, kernel, width_lo: float, width_hi: float,
         gain = 1.0 / filt_sum if filt_sum else 1.0
         return filt, gain
 
-    # Vectorised single-graph path: widths are static, so the whole variable-
-    # width smoother is one host-built (L, W) filter bank applied as a gather
+    # Vectorised filter-bank path: widths are static, so the whole variable-
+    # width smoother is a host-built (L, W) filter bank applied as a gather
     # + weighted reduction — one traced op instead of one sub-graph per width
-    # group (which costs ~2 s of remote TPU compile EACH). The group/FFT path
-    # below remains for working sets too large to materialise.
+    # group (which costs ~2 s of remote TPU compile EACH). Series whose
+    # (lead, L, W) window tensor exceeds the materialisation budget are
+    # processed in L-chunks through ONE jitted apply (bank and indices are
+    # runtime inputs, so every equal-sized chunk reuses the same executable —
+    # no per-group compile cliff; at most one extra compile for a ragged
+    # tail). Only genuinely huge filters (W > 4096, where windows cost ~W per
+    # output and the FFT group path wins asymptotically) fall through.
     hw_max = max(half_width(0), half_width(L - 1))
     w_max = 2 * hw_max - 1
     lead_n = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-    if lead_n * L * w_max <= (1 << 25):
+    if w_max <= 4096:
         bank = np.zeros((L, w_max), np.float64)
         i = 0
         while i < L:
@@ -184,14 +201,14 @@ def smooth(x, kernel, width_lo: float, width_hi: float,
             bank[i:j] = row
             i = j
         base = filter_size - (hw_max - 1)
-        idx = np.arange(L)[:, None] + base + np.arange(w_max)[None, :]
-        windows = padded[..., jnp.asarray(idx)]           # (..., L, W)
-        fb = jnp.asarray(bank, x.dtype)
-        # HIGHEST: default MXU precision would run the f32 contraction in
-        # bf16 on TPU (~8-bit mantissa) — invisible on CPU where the parity
-        # test runs.
-        return jnp.einsum("...lw,lw->...l", windows, fb,
-                          precision=jax.lax.Precision.HIGHEST)
+        chunk = max(1, (1 << 25) // max(1, lead_n * w_max))
+        outs = []
+        for c0 in range(0, L, chunk):
+            c1 = min(L, c0 + chunk)
+            idx = np.arange(c0, c1)[:, None] + base + np.arange(w_max)[None, :]
+            outs.append(_apply_bank(padded, jnp.asarray(idx),
+                                    jnp.asarray(bank[c0:c1], x.dtype)))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
     out_parts = []
     i = 0

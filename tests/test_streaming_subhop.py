@@ -277,3 +277,55 @@ def test_per_channel_reset(rng):
     np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y_fresh[0]),
                                rtol=1e-12, atol=1e-12)
     assert not np.allclose(np.asarray(y[1]), np.asarray(y_fresh[1]))
+
+
+# -- fused hop kernel (f32 pallas path) --------------------------------------------
+
+def test_hop_fire_kernel_matches_generic(rng):
+    """The fused single-hop Pallas kernel (backend='pallas', f32, N<=1024)
+    must match the generic XLA firing path and the np.convolve oracle."""
+    for fft_size in (64, 256, 1024):
+        h = fft_size >> 1
+        ir = rng.standard_normal((3, 3 * h + 11)).astype(np.float32)
+        spec = partitioned.impulse_spectra(ir, fft_size, offset=h,
+                                           dtype=jnp.float32)
+        pc = partitioned.PartitionedConvolve(fft_size, offset=h)
+        pc.spectra = spec
+        L = h * 8 + 45
+        x = rng.standard_normal((3, L)).astype(np.float32)
+        outs = {}
+        for be in ("pallas", "matmul"):
+            st = pc.init_stream_state((3,), dtype=jnp.float32)
+            ys = []
+            i = 0
+            for b in [64, 480, 333, 100, 7] * 20:
+                b = min(b, L - i)
+                if b <= 0:
+                    break
+                st, y = partitioned.PartitionedConvolve.step_any(
+                    spec, st, jnp.asarray(x[:, i:i + b]), backend=be)
+                ys.append(np.asarray(y))
+                i += b
+            outs[be] = np.concatenate(ys, -1)
+        assert snr_db(outs["matmul"], outs["pallas"]) > 100, fft_size
+        masked = np.zeros_like(ir)
+        masked[:, h:] = ir[:, h:]
+        ref = np.stack([np.convolve(x[c].astype(np.float64),
+                                    masked[c].astype(np.float64))[:L]
+                        for c in range(3)])
+        assert snr_db(ref, outs["pallas"]) > 100, fft_size
+
+
+def test_hop_kernel_scheme_f32(rng):
+    """Full zero-latency scheme in f32 with the kernel path active."""
+    scheme = PartitionScheme((64, 256, 1024), zero_latency=True)
+    ir = rng.standard_normal(1500).astype(np.float32)
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float32, offline_tail=False)
+    st = mono.init_stream_state(scheme, mir, dtype=jnp.float32)
+    L = 512 * 5
+    x = rng.standard_normal(L).astype(np.float32)
+    _, y = stream_blocks(
+        lambda s, b: mono.process_any(mir, s, b, backend="pallas"),
+        st, x, [31, 480, 64, 3, 129])
+    ref = np.convolve(x.astype(np.float64), ir.astype(np.float64))[:L]
+    assert snr_db(ref, y) > 95
