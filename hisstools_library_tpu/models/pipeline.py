@@ -17,6 +17,7 @@ spectral peak finding -> sinusoidal partial tracking.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -94,6 +95,39 @@ def find_peaks(amp_spectrum: jax.Array, n_peaks: int, bin_hz: float = 1.0,
     return freqs, amps
 
 
+@functools.lru_cache(maxsize=8)
+def _chain_jit(sample_rate: float, regularization: float,
+               smooth_widths: Tuple[float, float], kernel_key: tuple,
+               n_peaks: int, phase: Optional[float], backend: Optional[str]):
+    """One jitted device program for the whole measurable chain (deconvolve ->
+    mono -> amplitude -> smooth -> peaks). Eager execution pays a tunnel
+    round-trip per op under the axon backend (measured: 9 s/run eager vs
+    ~0.1 s jitted for the config-5 bench); the tracker stays host-side."""
+    from ..ops import windows
+
+    kernel = np.asarray(kernel_key, np.float64)
+
+    def fn(measured, excitation):
+        h = ir_deconvolve(measured, excitation, regularization,
+                          backend=backend)
+        h_mono = jnp.mean(h, axis=0) if h.ndim > 1 else h
+        if phase is not None:
+            h_mono = sp.change_phase(h_mono, phase, backend=backend)
+        n = h_mono.shape[-1]
+        H = Split(*fft_api.rfft(h_mono, backend=backend))
+        amp = jnp.sqrt(H.re * H.re + H.im * H.im) * 0.5  # undo the x2 packing
+        # Restore the true DC magnitude from the packed lane.
+        amp = amp.at[..., 0].set(jnp.abs(H.re[..., 0]) * 0.5)
+        smoothed = smoothing.smooth(amp, kernel, smooth_widths[0],
+                                    smooth_widths[1], symmetric=True,
+                                    edges=smoothing.EdgeMode.Extend,
+                                    backend=backend)
+        freqs, amps = find_peaks(smoothed, n_peaks, bin_hz=sample_rate / n)
+        return h_mono, smoothed, freqs, amps
+
+    return jax.jit(fn)
+
+
 @dataclasses.dataclass
 class IRPipelineResult:
     impulse: np.ndarray          # deconvolved mono IR (time domain)
@@ -121,36 +155,25 @@ def run_ir_pipeline(measured: jax.Array, excitation: jax.Array,
     """
     from ..ops import windows
 
-    h = ir_deconvolve(measured, excitation, regularization, backend=backend)
-    h_mono = jnp.mean(h, axis=0) if h.ndim > 1 else h
-
-    if phase is not None:
-        h_mono = sp.change_phase(h_mono, phase, backend=backend)
-
-    n = h_mono.shape[-1]
-    H = Split(*fft_api.rfft(h_mono, backend=backend))
-    amp = jnp.sqrt(H.re * H.re + H.im * H.im) * 0.5  # undo the x2 packing
-    # Restore the true DC / Nyquist magnitudes from the packed lanes.
-    amp = amp.at[..., 0].set(jnp.abs(H.re[..., 0]) * 0.5)
-
     if smooth_kernel is None:
         smooth_kernel = np.asarray(windows.hann(127, dtype=jnp.float64))[63:]
-    smoothed = smoothing.smooth(amp, smooth_kernel, smooth_widths[0],
-                                smooth_widths[1], symmetric=True,
-                                edges=smoothing.EdgeMode.Extend, backend=backend)
-
-    bin_hz = sample_rate / n
-    freqs, amps = find_peaks(smoothed, n_peaks, bin_hz=bin_hz)
+    fn = _chain_jit(float(sample_rate), float(regularization),
+                    (float(smooth_widths[0]), float(smooth_widths[1])),
+                    tuple(np.asarray(smooth_kernel, np.float64).tolist()),
+                    int(n_peaks), phase, backend)
+    # One batched device->host transfer (each np.asarray is a separate ~25 ms
+    # round trip under the axon tunnel).
+    h_np, sm_np, f_np, a_np = jax.device_get(fn(measured, excitation))
 
     if tracker is None:
         tracker = pt.PartialTracker(n_peaks, n_peaks, dtype=jnp.float64)
-    tracker.process(np.asarray(freqs, np.float64), np.asarray(amps, np.float64),
+    tracker.process(np.asarray(f_np, np.float64), np.asarray(a_np, np.float64),
                     start_threshold=0.0)
 
     return IRPipelineResult(
-        impulse=np.asarray(h_mono),
-        smoothed_amp=np.asarray(smoothed),
-        peak_freqs=np.asarray(freqs),
-        peak_amps=np.asarray(amps),
+        impulse=h_np,
+        smoothed_amp=sm_np,
+        peak_freqs=f_np,
+        peak_amps=a_np,
         tracker_state=tracker.state,
     )

@@ -70,7 +70,7 @@ def main(argv=None):
                                     ir[i].astype(np.float64))[:L]
                         for i in range(c)])
 
-        pick = rng.integers(0, 4)
+        pick = rng.integers(0, 5)
         if pick == 0:
             log2n = int(rng.integers(part.MIN_FFT_SIZE_LOG2, 18))
             nfft = 1 << log2n
@@ -115,6 +115,34 @@ def main(argv=None):
             cfg = (f"sharded mesh={ch_ax}x{blk_ax} c={cs} L={Ls} "
                    f"ir={irl} N={sizes[0]}")
             check("sharded_offline", np.asarray(y_ref, np.float64), y, cfg)
+        elif pick == 4:
+            # Sub-hop streaming: random odd callback sizes through process_any
+            # (f32 -> exercises the fused hop kernel for small sections).
+            base = int(rng.integers(5, 8))
+            sizes = tuple(1 << (base + 2 * k)
+                          for k in range(int(rng.integers(1, 3))))
+            scheme = PartitionScheme(sizes, zero_latency=True)
+            Ls = min(L, (sizes[-1] >> 1) * 6 + int(rng.integers(0, 777)))
+            xs = x[:, :Ls]
+            prep = mono.prepare_ir(scheme, ir, offline_tail=False)
+            st = mono.init_stream_state(scheme, prep, batch_shape=(c,))
+            outs = []
+            i = 0
+            # Cap the callback count: each call is a fresh interpret-mode
+            # evaluation on CPU, so unbounded tiny callbacks dominate runtime.
+            lo = max(1, Ls // 12)
+            while i < Ls and len(outs) < 16:
+                b = min(int(rng.integers(lo, lo + 600)), Ls - i)
+                st, yb = mono.process_any(prep, st, jnp.asarray(xs[:, i:i + b]),
+                                          backend="pallas")
+                outs.append(np.asarray(yb))
+                i += b
+            y = np.concatenate(outs, axis=-1)
+            refs = np.stack([np.convolve(xs[k].astype(np.float64),
+                                         ir[k].astype(np.float64))[:i]
+                             for k in range(c)])
+            cfg = f"subhop {sizes} c={c} Ls={i} ir={irl}"
+            check("subhop_any_blocks", refs, y, cfg)
         else:
             sizes = (256, 1024)
             scheme = PartitionScheme(sizes, zero_latency=True)
