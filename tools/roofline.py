@@ -50,17 +50,23 @@ def main(argv=None):
     rng = np.random.default_rng(0)
 
     def timed(fn, *arrs):
+        # Two-length slope: the axon tunnel's ~25 ms sync would otherwise
+        # inflate every kernel by 25/iters ms (see BASELINE.md methodology).
         out = fn(*arrs)
         sync(out if not isinstance(out, tuple) else out[0])
-        best = np.inf
-        for _ in range(3):
-            t0 = time.time()
-            o = None
-            for _ in range(args.iters):
-                o = fn(*arrs)
-            sync(o if not isinstance(o, tuple) else o[0])
-            best = min(best, (time.time() - t0) / args.iters)
-        return best
+
+        def total(k):
+            best = np.inf
+            for _ in range(3):
+                t0 = time.time()
+                o = None
+                for _ in range(k):
+                    o = fn(*arrs)
+                sync(o if not isinstance(o, tuple) else o[0])
+                best = min(best, time.time() - t0)
+            return best
+
+        return (total(2 * args.iters) - total(args.iters)) / args.iters
 
     def _split_real(n):
         log2n = n.bit_length() - 1
