@@ -95,6 +95,36 @@ def main(argv=None):
             check(f"split rfft/rifft {mode} N=2^{n.bit_length() - 1}",
                   s > args.snr, f"SNR {s:.1f} dB")
 
+    # Sub-hop streaming with the fused hop kernel on hardware: random odd
+    # callback sizes through a small zero-latency scheme vs np.convolve
+    # (the pytest coverage runs interpret mode only; Mosaic can diverge).
+    from hisstools_library_tpu.models import mono as mono_mod
+    from hisstools_library_tpu.models.mono import PartitionScheme as PS
+    scheme_sh = PS((256, 1024), zero_latency=True)
+    ir_sh = rng.standard_normal((2, 1800)).astype(np.float32)
+    mir_sh = mono_mod.prepare_ir(scheme_sh, ir_sh, dtype=jnp.float32,
+                                 offline_tail=False)
+    st_sh = mono_mod.init_stream_state(scheme_sh, mir_sh, (2,))
+    Lsh = 512 * 5
+    x_sh = rng.standard_normal((2, Lsh)).astype(np.float32)
+    step_sh = jax.jit(lambda s, b: mono_mod.process_any(mir_sh, s, b,
+                                                        backend="pallas"))
+    outs, i = [], 0
+    for bsz in [64, 480, 333, 100, 512, 64, 480, 333, 100, 512]:
+        bsz = min(bsz, Lsh - i)
+        if bsz <= 0:
+            break
+        st_sh, y_sh = step_sh(st_sh, jnp.asarray(x_sh[:, i:i + bsz]))
+        outs.append(np.asarray(y_sh))
+        i += bsz
+    got = np.concatenate(outs, axis=-1)
+    ref_sh = np.stack([np.convolve(x_sh[ci].astype(np.float64),
+                                   ir_sh[ci].astype(np.float64))[:i]
+                       for ci in range(2)])
+    s = snr_db(ref_sh, got[:, :i])
+    check("sub-hop streaming + fused hop kernel", s > args.snr,
+          f"SNR {s:.1f} dB")
+
     # Streaming forward + tail inverse (the convolution chain kernels).
     hop, t = 32768, 8
     x = rng.standard_normal((2, t * hop)).astype(np.float32)
