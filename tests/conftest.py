@@ -20,6 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles of
+# the sharded/scan programs (e.g. one shard_map streaming test costs ~160 s of
+# compile); cached re-runs skip them. Keyed by HLO hash, so it is always safe.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
