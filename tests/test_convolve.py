@@ -309,3 +309,30 @@ def test_process_block_matches_step_scan(rng):
     da = np.asarray(ya, np.float64) - np.asarray(yb, np.float64)
     ra = np.asarray(ya, np.float64)
     assert 10 * np.log10((ra * ra).sum() / max((da * da).sum(), 1e-300)) > 110.0
+
+
+def test_scheme_for_latency_budget(rng):
+    """Latency-budget scheme selection: presets below 1024, a single uniform
+    section above (hop == N/2 must fit the budget; larger budgets cap at
+    2^17)."""
+    from hisstools_library_tpu.models.mono import PartitionScheme
+    assert PartitionScheme.for_latency_budget(0).zero_latency
+    assert PartitionScheme.for_latency_budget(127).zero_latency
+    assert PartitionScheme.for_latency_budget(128).latency == 128
+    assert PartitionScheme.for_latency_budget(512).latency == 512
+    for budget in (1024, 1500, 8192, 100000, 1 << 20):
+        s = PartitionScheme.for_latency_budget(budget)
+        assert s.latency <= budget
+        assert len(s.sizes) == 1
+        assert s.sizes[0] <= 1 << 17
+    # parity: the budget-8192 engine is a delayed exact convolution
+    s = PartitionScheme.for_latency_budget(8192)
+    ir = rng.standard_normal(20000)
+    mir = mono.prepare_ir(s, ir, dtype=jnp.float64, offline_tail=False)
+    st = mono.init_state(s, mir, dtype=jnp.float64)
+    L = (s.sizes[0] >> 1) * 3
+    x = rng.standard_normal(L)
+    _, y = mono.process(mir, st, jnp.asarray(x))
+    lat = s.latency
+    ref = np.concatenate([np.zeros(lat), np.convolve(x, ir)])[:L]
+    assert snr_db(ref, y) > 180
