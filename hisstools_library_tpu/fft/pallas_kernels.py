@@ -388,3 +388,126 @@ def hop_fire(frame: jax.Array, ring_re: jax.Array, ring_im: jax.Array,
     return (orr.reshape(lead + (p, k)).astype(dt),
             ori.reshape(lead + (p, k)).astype(dt),
             y.reshape(lead + (k,)).astype(dt))
+
+
+# -----------------------------------------------------------------------------
+# Ring-aware streaming MAC: history and new spectra read IN PLACE.
+#
+# process_block previously gathered the ring into oldest-first order (~4 ms of
+# strided row-gather at the bench's 59-partition section), concatenated it
+# with the new spectra (another full HBM round trip), ran the causal MAC over
+# the concat, and sliced the last P rows back out for the new state. This
+# kernel removes all three data-movement passes: the sliding lag windows read
+# straight from the (already oldest-first, pos == 0) ring block and the new
+# spectra block, and the new ring (the last P virtual rows) is emitted as a
+# second output of the same kernel.
+#
+# Virtual rows V = [hist(P) | X(T)]; output row t uses V[t : t+P) against the
+# REVERSED impulse spectra (exchange-matrix matmul, as in the causal kernel).
+# Requires T <= P (streaming blocks shorter than the IR coverage — the usual
+# case; callers fall back otherwise).
+# -----------------------------------------------------------------------------
+
+def _lag_mac_ring_kernel(hre_ref, him_ref, xre_ref, xim_ref, sre_ref, sim_ref,
+                         exch_ref, yre_ref, yim_ref, nre_ref, nim_ref,
+                         *, t: int, p: int):
+    width = yre_ref.shape[-1]
+    exch = exch_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    sre = jax.lax.dot_general(exch, sre_ref[0], dn,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    sim = jax.lax.dot_general(exch, sim_ref[0], dn,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    sel = _bin0_mask(width)
+    for ti in range(t):
+        # Window V[ti : ti+P) = hist rows [ti, P) then x rows [0, ti),
+        # accumulated as TWO partial sums — an in-loop concatenate allocates
+        # fresh buffers every unrolled row that Mosaic's scoped stack does
+        # not pop (measured 21.9M scoped at P=59), while plain ref-slice
+        # products are reused across rows.
+        nh = p - ti
+        hr_ = hre_ref[0, ti:, :]
+        hi_ = him_ref[0, ti:, :]
+        pre = jnp.sum(hr_ * sre[:nh, :] - hi_ * sim[:nh, :], 0, keepdims=True)
+        pim = jnp.sum(hr_ * sim[:nh, :] + hi_ * sre[:nh, :], 0, keepdims=True)
+        f0r = jnp.sum(hr_[:, 0:1] * sre[:nh, 0:1], 0, keepdims=True)
+        f0i = jnp.sum(hi_[:, 0:1] * sim[:nh, 0:1], 0, keepdims=True)
+        if ti > 0:
+            xr_ = xre_ref[0, :ti, :]
+            xi_ = xim_ref[0, :ti, :]
+            pre = pre + jnp.sum(xr_ * sre[nh:, :] - xi_ * sim[nh:, :], 0,
+                                keepdims=True)
+            pim = pim + jnp.sum(xr_ * sim[nh:, :] + xi_ * sre[nh:, :], 0,
+                                keepdims=True)
+            f0r = f0r + jnp.sum(xr_[:, 0:1] * sre[nh:, 0:1], 0, keepdims=True)
+            f0i = f0i + jnp.sum(xi_[:, 0:1] * sim[nh:, 0:1], 0, keepdims=True)
+        yre_ref[0, ti:ti + 1, :] = jnp.where(sel, f0r, pre)
+        yim_ref[0, ti:ti + 1, :] = jnp.where(sel, f0i, pim)
+    # New ring = V[T : T+P) = [hist rows T.., all of x], oldest-first, pos 0.
+    if t < p:
+        nre_ref[0, :p - t, :] = hre_ref[0, t:, :]
+        nim_ref[0, :p - t, :] = him_ref[0, t:, :]
+    nre_ref[0, p - t:, :] = xre_ref[0, :, :]
+    nim_ref[0, p - t:, :] = xim_ref[0, :, :]
+
+
+def _pick_bin_tile_ring(t: int, p: int, bins: int) -> int:
+    # Mosaic's scoped stack reuses the unrolled rows' product temporaries
+    # only partially (hardware-measured 20.9M at t=16/p=58/tile=2048 —
+    # ~10 bytes x t x p x tile, the same live-set behaviour as the causal
+    # kernel), plus the six io blocks.
+    tile = min(bins, 8192)
+    while tile >= 128:
+        need = 4 * 2 * (3 * p + 3 * t) * tile + 10 * t * p * tile
+        if need <= _VMEM_BUDGET and bins % tile == 0:
+            return tile
+        tile //= 2
+    return 0
+
+
+def lag_mac_ring_fits(t: int, p: int, bins: int) -> bool:
+    return t <= p and _pick_bin_tile_ring(t, p, bins) > 0
+
+
+def lag_mac_ring(hist_re: jax.Array, hist_im: jax.Array,
+                 x_re: jax.Array, x_im: jax.Array,
+                 h_re: jax.Array, h_im: jax.Array,
+                 interpret: bool = False):
+    """Streaming partition MAC with in-place ring reads.
+
+    ``hist_*``: (C, P, K) oldest-first ring (pos == 0 convention);
+    ``x_*``: (C, T, K) new hop spectra (T <= P); ``h_*``: (C, P, K) natural
+    order. Returns (y_re, y_im, new_hist_re, new_hist_im): the T outputs
+    Y_t = sum_p V[P+t-1-p] H_p over virtual rows V = [hist | X], and the
+    last P virtual rows as the new ring."""
+    c, p, k = hist_re.shape
+    t = x_re.shape[-2]
+    tile = _pick_bin_tile_ring(t, p, k)
+    if tile == 0 or t > p:
+        raise ValueError("lag_mac_ring infeasible; check lag_mac_ring_fits")
+    exch = jnp.asarray(np.eye(p, dtype=np.float32)[::-1].copy())
+
+    grid = (c, k // tile)
+    h_spec = pl.BlockSpec((1, p, tile), lambda ci, ki: (ci, 0, ki),
+                          memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, t, tile), lambda ci, ki: (ci, 0, ki),
+                          memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((p, p), lambda ci, ki: (0, 0),
+                          memory_space=pltpu.VMEM)
+    yre, yim, nre, nim = pl.pallas_call(
+        functools.partial(_lag_mac_ring_kernel, t=t, p=p),
+        grid=grid,
+        in_specs=[h_spec, h_spec, x_spec, x_spec, h_spec, h_spec, e_spec],
+        out_specs=[x_spec, x_spec, h_spec, h_spec],
+        out_shape=[jax.ShapeDtypeStruct((c, t, k), x_re.dtype)] * 2 +
+                  [jax.ShapeDtypeStruct((c, p, k), x_re.dtype)] * 2,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * c * t * p * k,
+            bytes_accessed=4 * c * k * (4 * p + 4 * t),
+            transcendentals=0,
+        ),
+    )(hist_re, hist_im, x_re, x_im, h_re, h_im, exch)
+    return yre, yim, nre, nim

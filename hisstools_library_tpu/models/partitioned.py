@@ -448,16 +448,49 @@ class PartitionedConvolve:
                       and x.dtype != jnp.float64)
 
         # Ring history ordered oldest-first: slot (pos + k) mod P holds the
-        # spectrum of age P - k (see step()'s slot mapping).
-        order = (state.pos + jnp.arange(p, dtype=jnp.int32)) % p
-        hist_re = jnp.take(state.ring.re, order, axis=-2)
-        hist_im = jnp.take(state.ring.im, order, axis=-2)
-        xp_re = jnp.concatenate([hist_re, xre], axis=-2)      # (..., P+T, K)
-        xp_im = jnp.concatenate([hist_im, xim], axis=-2)
-        h_re = jnp.broadcast_to(spectra.re, lead + spectra.re.shape[-2:])
-        h_im = jnp.broadcast_to(spectra.im, lead + spectra.im.shape[-2:])
-        acc_re, acc_im = _lag_mac_dispatch(xp_re, xp_im, h_re, h_im, t,
-                                           mac_backend)
+        # spectrum of age P - k (see step()'s slot mapping). The reorder
+        # gather only executes when pos != 0 (a state produced by step());
+        # init/process_block states are already normalised and the gather is
+        # an expensive strided row walk (~4 ms at the bench's P=59 section).
+        from ..fft import pallas_kernels as pk
+
+        def _normalise(planes):
+            order = (state.pos + jnp.arange(p, dtype=jnp.int32)) % p
+            return (jnp.take(planes[0], order, axis=-2),
+                    jnp.take(planes[1], order, axis=-2))
+
+        hist_re, hist_im = jax.lax.cond(
+            state.pos == 0, lambda planes: planes, _normalise,
+            (state.ring.re, state.ring.im))
+
+        on_cpu = jax.default_backend() == "cpu"
+        lead_n = int(np.prod(lead)) if lead else 1
+        use_ring_kernel = (mac_backend in ("auto", "pallas")
+                           and x.dtype != jnp.float64
+                           and pk.lag_mac_ring_fits(t, p, h))
+        if use_ring_kernel:
+            # One kernel: in-place lag windows over [hist | X] (no concat, no
+            # materialised xp) emitting both the MAC outputs and the new ring.
+            hr_b = jnp.broadcast_to(spectra.re, lead + (p, h)
+                                    ).reshape(lead_n, p, h).astype(xre.dtype)
+            hi_b = jnp.broadcast_to(spectra.im, lead + (p, h)
+                                    ).reshape(lead_n, p, h).astype(xre.dtype)
+            yre, yim, nre, nim = pk.lag_mac_ring(
+                hist_re.reshape(lead_n, p, h), hist_im.reshape(lead_n, p, h),
+                xre.reshape(lead_n, t, h), xim.reshape(lead_n, t, h),
+                hr_b, hi_b, interpret=on_cpu)
+            acc_re = yre.reshape(lead + (t, h))
+            acc_im = yim.reshape(lead + (t, h))
+            new_ring = Split(nre.reshape(lead + (p, h)),
+                             nim.reshape(lead + (p, h)))
+        else:
+            xp_re = jnp.concatenate([hist_re, xre], axis=-2)  # (..., P+T, K)
+            xp_im = jnp.concatenate([hist_im, xim], axis=-2)
+            h_re = jnp.broadcast_to(spectra.re, lead + spectra.re.shape[-2:])
+            h_im = jnp.broadcast_to(spectra.im, lead + spectra.im.shape[-2:])
+            acc_re, acc_im = _lag_mac_dispatch(xp_re, xp_im, h_re, h_im, t,
+                                               mac_backend)
+            new_ring = Split(xp_re[..., -p:, :], xp_im[..., -p:, :])
 
         scale = 1.0 / (4.0 * n)
         if fused_tail:  # stream_feasible covers the tail kernel's VMEM bound
@@ -467,11 +500,9 @@ class PartitionedConvolve:
             out = y[..., h:]
 
         # New state: newest P spectra, slot-normalised to pos = 0.
-        last_re = xp_re[..., -p:, :]
-        last_im = xp_im[..., -p:, :]
         new_state = PartitionedState(
             prev=blocks[..., -1, :],
-            ring=Split(last_re, last_im),
+            ring=new_ring,
             pos=jnp.zeros((), jnp.int32),
         )
         return new_state, out.reshape(*lead, L)
