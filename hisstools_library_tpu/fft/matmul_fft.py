@@ -39,6 +39,37 @@ _DIRECT_MAX = 1024
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
+# f32 dot mode: "highest" (6-pass, ~135 dB) or "bf16x3" (3-pass stacked hi/lo
+# split, ~100 dB, ~2x the multiply throughput). Kept in sync with the Pallas
+# kernels' mode by pallas_fft.set_mode; f64 (CPU parity testing) always runs
+# HIGHEST regardless.
+_F32_DOT_MODE = "highest"
+
+
+def set_f32_dot_mode(mode: str) -> None:
+    global _F32_DOT_MODE
+    if mode not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown f32 dot mode {mode!r}")
+    _F32_DOT_MODE = mode
+
+
+def _bsplit_xla(x):
+    """bf16 hi/lo split OUTSIDE a kernel: must go through reduce_precision —
+    XLA's excess-precision simplification folds x - bf16(x).astype(f32) to
+    zero on TPU (see pallas_fft._prep_operand)."""
+    xr = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    return xr.astype(jnp.bfloat16), (x - xr).astype(jnp.bfloat16)
+
+
+def _stack_lhs(x):
+    xh, xl = _bsplit_xla(x)
+    return jnp.concatenate([xh, xh, xl], axis=-1)
+
+
+def _stack_rhs(x):
+    xh, xl = _bsplit_xla(x)
+    return jnp.concatenate([xh, xl, xh], axis=-2)
+
 
 @lru_cache(maxsize=64)
 def _dft_matrix(n: int, dtype_name: str, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
@@ -68,7 +99,23 @@ def _split_factors(n: int) -> Tuple[int, int]:
 
 
 def _cmatmul(ar, ai, fr, fi):
-    """(ar + i ai) @ (fr + i fi) via four real MXU matmuls."""
+    """(ar + i ai) @ (fr + i fi) via four real MXU matmuls.
+
+    In bf16x3 mode each f32 matmul becomes one dot over a 3x-stacked
+    contraction ([ah|ah|al] @ [bh;bl;bh] — drop lo*lo); operands are split
+    once and shared across the two dots that use them."""
+    if _F32_DOT_MODE == "bf16x3" and ar.dtype == jnp.float32:
+        ars = _stack_lhs(ar)
+        ais = _stack_lhs(ai)
+        frs = _stack_rhs(fr)
+        fis = _stack_rhs(fi)
+        dims = (((ars.ndim - 1,), (0,)), ((), ()))
+
+        def dg(a, b):
+            return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                       preferred_element_type=jnp.float32)
+
+        return (dg(ars, frs) - dg(ais, fis), dg(ars, fis) + dg(ais, frs))
     rr = jnp.matmul(ar, fr, precision=_PRECISION)
     ii = jnp.matmul(ai, fi, precision=_PRECISION)
     ri = jnp.matmul(ar, fi, precision=_PRECISION)

@@ -74,11 +74,15 @@ _MODE = "highest"  # or "bf16x3"
 
 
 def set_mode(mode: str) -> None:
-    """Set the default MXU matmul mode for the fused kernels."""
+    """Set the default MXU matmul mode for the fused kernels AND the staged
+    matmul backend's f32 dots (matmul_fft serves the small-N sizes the fused
+    kernels don't cover — keeping the modes in sync keeps the quality/speed
+    trade uniform across the size range)."""
     global _MODE
     if mode not in ("highest", "bf16x3"):
         raise ValueError(f"unknown pallas fft mode {mode!r}")
     _MODE = mode
+    matmul_fft.set_f32_dot_mode(mode)
 
 
 def get_mode() -> str:
