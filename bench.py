@@ -388,16 +388,26 @@ def main():
     sync(y)
     log(f"compile+first run {time.time() - t0:.2f}s")
 
-    # Steady-state timing: the axon tunnel's sync costs ~25ms, so dispatch a chain
-    # of iterations and sync once, amortising the fixed round-trip.
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        outs = [fwd(ir, xd) for _ in range(iters)]
-        sync(outs[-1])
-        times.append((time.time() - t0) / iters)
-    best = min(times)
-    log(f"times: {[round(t, 4) for t in times]}")
+    # Steady-state timing with the two-length SLOPE: a single chain's total
+    # divided by iters still carries the axon tunnel's ~25 ms sync (~25/iters
+    # ms of fake per-pass cost — it understated the round-1/2 headlines by
+    # ~25%); timing chains of N and 2N and taking the slope cancels it.
+    def chain_best(k: int) -> float:
+        best_t = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            out = None
+            for _ in range(k):
+                out = fwd(ir, xd)
+            sync(out)
+            best_t = min(best_t, time.time() - t0)
+        return best_t
+
+    t_n = chain_best(iters)
+    t_2n = chain_best(2 * iters)
+    best = (t_2n - t_n) / iters
+    log(f"chain({iters}) {t_n * 1e3:.1f} ms, chain({2 * iters}) {t_2n * 1e3:.1f} ms"
+        f" -> {best * 1e3:.2f} ms/pass (slope)")
 
     total_samples = channels * sig_len
     sps = total_samples / best

@@ -28,8 +28,11 @@ from . import partitioned as part
 def choose_fft_size(ir_len: int, sig_len: int) -> int:
     """Pick the uniform FFT size balancing FFT cost (~sqrt(N) per sample on the
     matmul/Pallas path) against partition-MAC cost (~IR/N per sample), bounded
-    to the engine's 2^5..2^20 range. Empirically N=2^16 wins for ~10 s IRs on
-    v5e (see BASELINE.md sweep)."""
+    to the engine's 2^5..2^20 range.
+
+    Sweeps (sync-cancelling slope timing, BASELINE.md): with the whole-chain
+    mega-kernel N=2^16 stays optimal for ~10 s IRs (~16 ms/pass vs 18 ms at
+    2^15 and 26 ms at 2^14 on v5e)."""
     target = max(ir_len // 8, 2048)
     n = 1 << max(int(np.ceil(np.log2(target))), 11)
     return int(min(max(n, 1 << part.MIN_FFT_SIZE_LOG2), 1 << 17))

@@ -32,6 +32,7 @@ MIN/MAX FFT sizes 2^5..2^20 as in the reference (PartitionedConvolve.h:18-19).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -588,6 +589,21 @@ class PartitionedConvolve:
         tail = t * h - L
         x2d = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, tail)]
                       ).reshape(*lead, t, h)
+
+        # Whole-chain mega-kernel: rFFT -> VMEM spectra ring -> causal MAC ->
+        # tail riFFT in ONE kernel (pallas_fft.fastfir_chain) — no hop
+        # spectra or accumulations ever touch HBM. Falls through to the
+        # three-kernel chain when the per-channel state exceeds VMEM.
+        if (os.environ.get("HISSTOOLS_FASTFIR_CHAIN", "1") != "0"
+                and pallas_fft.fastfir_feasible(n, p)):
+            c = int(np.prod(lead)) if lead else 1
+            hr = jnp.broadcast_to(spectra.re, lead + (p, h)).reshape(c, p, h)
+            hi = jnp.broadcast_to(spectra.im, lead + (p, h)).reshape(c, p, h)
+            y = pallas_fft.fastfir_chain(
+                x2d.reshape(c, t, h), hr.astype(jnp.float32),
+                hi.astype(jnp.float32), scale=1.0 / (4.0 * n))
+            out = y.reshape(*lead, t * h)
+            return out[..., shift:shift + L]
 
         X = Split(*pallas_fft.rfft_packed_stream(x2d))       # (..., T, K)
 

@@ -336,3 +336,24 @@ def test_scheme_for_latency_budget(rng):
     lat = s.latency
     ref = np.concatenate([np.zeros(lat), np.convolve(x, ir)])[:L]
     assert snr_db(ref, y) > 180
+
+
+def test_fastfir_mega_kernel_matches_staged_chain(rng):
+    """The whole-chain mega-kernel (pallas_fft.fastfir_chain) must match the
+    three-kernel staged chain and the np.convolve oracle (f32, interpret)."""
+    import os
+    x = rng.standard_normal((2, 40000)).astype(np.float32)
+    ir = rng.standard_normal((2, 30000)).astype(np.float32)
+    from hisstools_library_tpu.models.offline import fast_fir
+    y_mega = fast_fir(jnp.asarray(x), ir, fft_size=1 << 14, backend="pallas")
+    os.environ["HISSTOOLS_FASTFIR_CHAIN"] = "0"
+    try:
+        y_staged = fast_fir(jnp.asarray(x), ir, fft_size=1 << 14,
+                            backend="pallas")
+    finally:
+        del os.environ["HISSTOOLS_FASTFIR_CHAIN"]
+    assert snr_db(np.asarray(y_staged), np.asarray(y_mega)) > 110
+    for c in range(2):
+        ref = np.convolve(x[c].astype(np.float64),
+                          ir[c].astype(np.float64))[:40000]
+        assert snr_db(ref, np.asarray(y_mega)[c]) > 100
