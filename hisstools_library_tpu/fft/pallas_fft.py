@@ -1147,8 +1147,11 @@ def _fastfir_kernel(prevb_ref, curb_ref, hre_hbm, him_hbm, *refs,
 
 def fastfir_feasible(n: int, p: int) -> bool:
     """VMEM model for the whole-chain kernel: both table sets + the spectra
-    scratch + the ring + stage temporaries."""
-    if not (MIN_REAL_SIZE <= n <= MAX_SINGLE_REAL) or (n & (n - 1)):
+    scratch + the ring + stage temporaries. Requires n1 >= 128: the
+    per-channel `.at[ci]` spectra DMA slices the (C, P, n2h, n1) array on a
+    lane-padded memref, and Mosaic rejects lane-dim slices narrower than the
+    128 tile (measured: the Zero preset's <=4096 sections fail to compile)."""
+    if not ((1 << 14) <= n <= MAX_SINGLE_REAL) or (n & (n - 1)):
         return False
     n1, n2 = _split_real(n)
     rows = _pad8(n2 // 2 + 1)
@@ -1206,3 +1209,199 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
             transcendentals=0),
     )(x4, x4, h4_re, h4_im, *fwd, *inv)
     return y.reshape(c, t, hop)
+
+
+# -----------------------------------------------------------------------------
+# Streaming variant of the whole-chain kernel: the spectra ring is PRELOADED
+# from the carried state (oldest-first, pos == 0 — slot s holds X_{s-P}, i.e.
+# exactly the StreamState layout) and the final ring is emitted back, slot-
+# normalised, for the next block. The first hop's frame overlap comes from the
+# carried previous time block instead of the zero mask.
+# -----------------------------------------------------------------------------
+
+def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
+                           ring_hbm_im, hre_hbm, him_hbm, *refs,
+                           n2h: int, p: int, t: int, scale: float, mode: str):
+    fwd_hbm = refs[:7]
+    inv_hbm = refs[7:14]
+    y_ref = refs[14]
+    oring_re = refs[15]
+    oring_im = refs[16]
+    (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
+     qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+     hre_s, him_s, ring_re, ring_im, tsem, hsem, osem) = refs[17:]
+    _load_tables_once(fwd_hbm + inv_hbm,
+                      (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
+                       qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
+                      tsem, grid_rank=2)
+    ci = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        # New channel: impulse spectra + carried ring state into scratch.
+        dmas = [pltpu.make_async_copy(hre_hbm.at[ci], hre_s, hsem.at[0]),
+                pltpu.make_async_copy(him_hbm.at[ci], him_s, hsem.at[1]),
+                pltpu.make_async_copy(ring_hbm_re.at[ci], ring_re, hsem.at[2]),
+                pltpu.make_async_copy(ring_hbm_im.at[ci], ring_im, hsem.at[3])]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+    dot = _Dot(mode)
+
+    # -- causal MAC: virtual rows X_j; j < 0 live in the preloaded ring at
+    # slot j mod p (oldest-first state layout), j >= 0 at slot j mod p after
+    # this grid dimension's earlier writes — one uniform slot rule.
+    acc_re = jnp.zeros((n2h, ring_re.shape[-1]), jnp.float32)
+    acc_im = jnp.zeros_like(acc_re)
+    a0_re = jnp.zeros((1, ring_re.shape[-1]), jnp.float32)
+    a0_im = jnp.zeros_like(a0_re)
+    for lag in range(p):
+        slot = jax.lax.rem(ti - 1 - lag + p * 8192, jnp.int32(p))
+        rr = ring_re[pl.ds(slot, 1)][0]
+        ri = ring_im[pl.ds(slot, 1)][0]
+        hr = hre_s[lag]
+        hi = him_s[lag]
+        acc_re += rr * hr - ri * hi
+        acc_im += rr * hi + ri * hr
+        a0_re += rr[0:1, :] * hr[0:1, :]
+        a0_im += ri[0:1, :] * hi[0:1, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 1)
+    lane0 = (rows == 0) & (cols == 0)
+    pr = jnp.where(lane0, a0_re, acc_re)
+    pi = jnp.where(lane0, a0_im, acc_im)
+
+    # -- tail riFFT (identical to the offline kernel) ------------------------
+    x0 = pr[0, 0]
+    nyq = pi[0, 0]
+    pi0 = jnp.where(lane0, 0.0, pi)
+    qr = dot.rhs(qr_s[...], 0)
+    qi = dot.rhs(qi_s[...], 0)
+    qs = dot.rhs(qs_s[...], 0)
+    m1 = dot(dot.lhs(pr, 0), qr, _T0)
+    m2 = dot(dot.lhs(pi0, 0), qi, _T0)
+    m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
+    hr2 = m1 - m2
+    hi2 = m3 - m1 - m2
+    h2r = hr2 * ctr_s[...] - hi2 * cti_s[...]
+    h2i = hr2 * cti_s[...] + hi2 * ctr_s[...]
+    n1h = y_ref.shape[-2]
+    p1r = dot.lhs(p1r_s[...][n1h:, :], 1)
+    p1i = dot.lhs(p1i_s[...][n1h:, :], 1)
+    sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
+    par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+    parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
+    y_ref[0, 0] = scale * (2.0 * sr - x0 + nyq * parity)
+
+    # -- forward rFFT, first hop's overlap from the carried previous block ---
+    f1r_lo = dot.lhs(f1r_s[...][:, :prevb_ref.shape[-2]], 1)
+    f1r_hi = dot.lhs(f1r_s[...][:, prevb_ref.shape[-2]:], 1)
+    f1i_lo = dot.lhs(f1i_s[...][:, :prevb_ref.shape[-2]], 1)
+    f1i_hi = dot.lhs(f1i_s[...][:, prevb_ref.shape[-2]:], 1)
+    prev_time = jnp.where(ti == 0, pstate_ref[0, 0], prevb_ref[0, 0])
+    prev = dot.rhs(prev_time, 0)
+    cur = dot.rhs(curb_ref[0, 0], 0)
+    br = dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
+    bi = dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
+    cr = br * twr_s[...] - bi * twi_s[...]
+    cc = br * twi_s[...] + bi * twr_s[...]
+    m1 = dot(f2r_s[...], dot.rhs(cr, 1), _T2)
+    m2 = dot(f2i_s[...], dot.rhs(cc, 1), _T2)
+    m3 = dot(f2s_s[...], dot.rhs(cr + cc, 1), _T2)
+    er = m1 - m2
+    ei = m3 - m1 - m2
+    nyq_f = er[n2h, 0]
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
+    cols_f = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
+    at00 = (rows_f == 0) & (cols_f == 0)
+    wslot = jax.lax.rem(ti, jnp.int32(p))
+    ring_re[pl.ds(wslot, 1)] = er[:n2h, :][None]
+    ring_im[pl.ds(wslot, 1)] = jnp.where(at00, nyq_f, ei[:n2h, :])[None]
+
+    # -- last hop: emit the new ring, slot-normalised to oldest-first --------
+    @pl.when(ti == t - 1)
+    def _():
+        # New state slot s must hold X_{t-p+s}, which lives at scratch slot
+        # (t + s) mod p: p small static copies through HBM DMA.
+        for s in range(p):
+            src = (t + s) % p
+            d1 = pltpu.make_async_copy(ring_re.at[src], oring_re.at[ci, s],
+                                       osem.at[0])
+            d2 = pltpu.make_async_copy(ring_im.at[src], oring_im.at[ci, s],
+                                       osem.at[1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+
+
+def fastfir_stream_feasible(n: int, p: int) -> bool:
+    return fastfir_feasible(n, p)
+
+
+def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
+                         ring_re: jax.Array, ring_im: jax.Array,
+                         h_re: jax.Array, h_im: jax.Array, scale: float,
+                         interpret: bool | None = None,
+                         mode: str | None = None):
+    """Whole streaming process_block as one kernel. ``x2d``: (C, T, H) hop
+    blocks; ``prev``: (C, H) the carried previous block; ``ring_*``:
+    (C, P, N/2) oldest-first spectra ring (pos == 0). Returns
+    (y (C, T, H), new_ring_re, new_ring_im) with the new ring oldest-first."""
+    c, t, hop = x2d.shape
+    n = 2 * hop
+    p = ring_re.shape[-2]
+    n1, n2 = _split_real(n)
+    n1h, n2h = n1 // 2, n2 // 2
+    if interpret is None:
+        interpret = _interpret_default()
+    mode = mode or _MODE
+    fwd = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
+    inv = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
+
+    x4 = x2d.reshape(c, t, n1h, n2).astype(jnp.float32)
+    pv4 = prev.reshape(c, 1, n1h, n2).astype(jnp.float32)
+    r4_re = ring_re.reshape(c, p, n2h, n1).astype(jnp.float32)
+    r4_im = ring_im.reshape(c, p, n2h, n1).astype(jnp.float32)
+    h4_re = h_re.reshape(c, p, n2h, n1).astype(jnp.float32)
+    h4_im = h_im.reshape(c, p, n2h, n1).astype(jnp.float32)
+
+    prev_spec = pl.BlockSpec((1, 1, n1h, n2),
+                             lambda ci, i: (ci, jnp.maximum(i - 1, 0), 0, 0),
+                             memory_space=pltpu.VMEM)
+    cur_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pst_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    y, nr_re, nr_im = pl.pallas_call(
+        partial(_fastfir_stream_kernel, n2h=n2h, p=p, t=t,
+                scale=float(scale), mode=mode),
+        grid=(c, t),
+        compiler_params=_seq_grid(2),
+        in_specs=[prev_spec, cur_spec, pst_spec] + _hbm_specs(4)
+                 + _hbm_specs(14),
+        out_specs=[y_spec, pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((c, t, n1h, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((c, p, n2h, n1), jnp.float32),
+                   jax.ShapeDtypeStruct((c, p, n2h, n1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in fwd] +
+                       [pltpu.VMEM(tb.shape, jnp.float32) for tb in inv] +
+                       [pltpu.VMEM((p, n2h, n1), jnp.float32)] * 4 +
+                       [pltpu.SemaphoreType.DMA((14,)),
+                        pltpu.SemaphoreType.DMA((4,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=c * t * (6 * n1 * n1 * n2 + 16 * n1 * n2 * n2h
+                           + 8 * p * (n // 2)),
+            bytes_accessed=4 * c * (2 * t * hop + 4 * p * (n // 2)),
+            transcendentals=0),
+    )(x4, x4, pv4, r4_re, r4_im, h4_re, h4_im, *fwd, *inv)
+    return (y.reshape(c, t, hop),
+            nr_re.reshape(c, p, n // 2), nr_im.reshape(c, p, n // 2))

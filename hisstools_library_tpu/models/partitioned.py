@@ -436,18 +436,6 @@ class PartitionedConvolve:
         lead = x.shape[:-1]
         blocks = x.reshape(*lead, t, h)
 
-        # Frames [hop_{j-1} | hop_j] with hop_{-1} = carried previous block.
-        # (Routing this through the overlap-save stream kernel was measured
-        # SLOWER here: the prepended history row makes the hop count T+1,
-        # which usually has no usable hop-group divisor and degrades that
-        # kernel to ungrouped grid steps.)
-        prev_rows = jnp.concatenate(
-            [state.prev[..., None, :], blocks[..., :-1, :]], axis=-2)
-        frames = jnp.concatenate([prev_rows, blocks], axis=-1)
-        xre, xim = fft_api.rfft(frames, backend=backend)      # (..., T, K)
-        fused_tail = (backend == "pallas" and pallas_fft.stream_feasible(n)
-                      and x.dtype != jnp.float64)
-
         # Ring history ordered oldest-first: slot (pos + k) mod P holds the
         # spectrum of age P - k (see step()'s slot mapping). The reorder
         # gather only executes when pos != 0 (a state produced by step());
@@ -460,12 +448,50 @@ class PartitionedConvolve:
             return (jnp.take(planes[0], order, axis=-2),
                     jnp.take(planes[1], order, axis=-2))
 
-        hist_re, hist_im = jax.lax.cond(
+        hist0_re, hist0_im = jax.lax.cond(
             state.pos == 0, lambda planes: planes, _normalise,
             (state.ring.re, state.ring.im))
 
-        on_cpu = jax.default_backend() == "cpu"
+        # Whole-chain streaming mega-kernel (pallas_fft.fastfir_chain_stream):
+        # rFFT -> preloaded spectra ring -> MAC -> tail riFFT in ONE kernel,
+        # emitting both the outputs and the slot-normalised new ring.
         lead_n = int(np.prod(lead)) if lead else 1
+        if (backend == "pallas" and mac_backend in ("auto", "pallas")
+                and x.dtype != jnp.float64
+                and os.environ.get("HISSTOOLS_FASTFIR_CHAIN", "1") != "0"
+                and pallas_fft.fastfir_stream_feasible(n, p)):
+            hr_b = jnp.broadcast_to(spectra.re, lead + (p, h)
+                                    ).reshape(lead_n, p, h)
+            hi_b = jnp.broadcast_to(spectra.im, lead + (p, h)
+                                    ).reshape(lead_n, p, h)
+            y, nr, ni = pallas_fft.fastfir_chain_stream(
+                blocks.reshape(lead_n, t, h),
+                state.prev.reshape(lead_n, h),
+                hist0_re.reshape(lead_n, p, h), hist0_im.reshape(lead_n, p, h),
+                hr_b, hi_b, scale=1.0 / (4.0 * n))
+            new_state = PartitionedState(
+                prev=blocks[..., -1, :],
+                ring=Split(nr.reshape(lead + (p, h)),
+                           ni.reshape(lead + (p, h))),
+                pos=jnp.zeros((), jnp.int32),
+            )
+            return new_state, y.reshape(*lead, L)
+
+        # Frames [hop_{j-1} | hop_j] with hop_{-1} = carried previous block.
+        # (Routing this through the overlap-save stream kernel was measured
+        # SLOWER here: the prepended history row makes the hop count T+1,
+        # which usually has no usable hop-group divisor and degrades that
+        # kernel to ungrouped grid steps.)
+        prev_rows = jnp.concatenate(
+            [state.prev[..., None, :], blocks[..., :-1, :]], axis=-2)
+        frames = jnp.concatenate([prev_rows, blocks], axis=-1)
+        xre, xim = fft_api.rfft(frames, backend=backend)      # (..., T, K)
+        fused_tail = (backend == "pallas" and pallas_fft.stream_feasible(n)
+                      and x.dtype != jnp.float64)
+
+        hist_re, hist_im = hist0_re, hist0_im
+
+        on_cpu = jax.default_backend() == "cpu"
         use_ring_kernel = (mac_backend in ("auto", "pallas")
                            and x.dtype != jnp.float64
                            and pk.lag_mac_ring_fits(t, p, h))
