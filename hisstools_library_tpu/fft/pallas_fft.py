@@ -43,6 +43,7 @@ matmuls. "highest" = Precision.HIGHEST (6 passes, ~f32-exact). "bf16x3" = manual
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Tuple
 
@@ -68,7 +69,20 @@ MAX_REAL_SIZE = 1 << 20
 MIN_COMPLEX_SIZE = 2048
 MAX_COMPLEX_SIZE = 1 << 17
 
-_VMEM_TARGET = 13 * 1024 * 1024
+# All byte budgets below are analytic VMEM models validated at their claimed
+# boundaries by tools/vmem_probe.py (hardware compile probes — run it after any
+# kernel or tile-model change). HISSTOOLS_VMEM_SCALE (default 1.0) uniformly
+# tightens/loosens every budget: the operational escape hatch if a Mosaic or
+# XLA update shifts the real per-kernel ceiling before the models are re-tuned.
+_VMEM_SCALE = float(os.environ.get("HISSTOOLS_VMEM_SCALE", "1.0"))
+
+
+def vmem_budget(mib: float) -> int:
+    """``mib`` MiB scaled by HISSTOOLS_VMEM_SCALE, in bytes."""
+    return int(mib * 1024 * 1024 * _VMEM_SCALE)
+
+
+_VMEM_TARGET = vmem_budget(13)
 
 _MODE = "highest"  # or "bf16x3"
 
@@ -336,12 +350,20 @@ def _seq_grid(rank: int):
     return pltpu.CompilerParams(dimension_semantics=("arbitrary",) * rank)
 
 
-def _pick_group(b: int, per_signal_io: int, temps: int, tables: int) -> int:
+def _pick_group(b: int, per_signal_io: int, temps: int, tables: int,
+                highest: bool = False) -> int:
     """Largest group whose (double-buffered io + unrolled temps + tables)
-    fits; 0 if not even a single signal does (caller must fall back)."""
+    fits; 0 if not even a single signal does (caller must fall back).
+
+    ``highest``: HIGHEST-precision dots allocate internal hi/lo operand
+    splits (~2x the dot-operand bytes — see the module docstring); callers
+    whose margins don't already absorb that (fft_split: vmem_probe round 2
+    found 2^17 HIGHEST aborts the TPU compiler) pass True to budget it."""
     for g in (8, 4, 2, 1):
         if b % g == 0:
             est = tables + 2 * g * per_signal_io + g * temps
+            if highest:
+                est += tables + 2 * g * per_signal_io
             if est <= _VMEM_TARGET:
                 return g
     return 0
@@ -360,7 +382,7 @@ def stream_feasible(n: int) -> bool:
     rows = _pad8(n2 // 2 + 1)
     fwd = 4 * (2 * n1 * n1 + 2 * n1 * n2 + 3 * n2 * rows)
     inv = 4 * (3 * (n2 // 2) * n2 + 2 * n1 * n2 + 2 * n1 * n1)
-    return max(fwd, inv) + 96 * (n // 2) <= 14 * 1024 * 1024
+    return max(fwd, inv) + 96 * (n // 2) <= vmem_budget(14)
 
 
 def rfft_packed(x: jax.Array, interpret: bool | None = None,
@@ -774,7 +796,8 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
     twr, twi = matmul_fft._twiddle(n1, n2, "float32", inverse)
     tables = [jnp.asarray(t) for t in (f1r, f1i, f2r, f2i, twr, twi)]
     table_bytes = sum(int(t.size) * 4 for t in tables)
-    g = _pick_group(b, 16 * n, 8 * 4 * n1 * n2, table_bytes)
+    g = _pick_group(b, 16 * n, 8 * 4 * n1 * n2, table_bytes,
+                    highest=(mode or _MODE) == "highest")
     if g == 0:
         return matmul_fft.fft_split(re, im, inverse=inverse)
     ar = re.reshape(b, n1, n2).astype(jnp.float32)
@@ -873,7 +896,7 @@ def _pick_hop_group(t: int, hop: int, table_bytes: int) -> int:
     bound is tighter to the 16M scoped limit than _VMEM_TARGET — g=4 at
     hop=32768 (13.9M estimated) compiles and is ~35% faster than g=2."""
     for g in (8, 4, 2, 1):
-        if t % g == 0 and table_bytes + 96 * g * hop <= 14 * 1024 * 1024:
+        if t % g == 0 and table_bytes + 96 * g * hop <= vmem_budget(14):
             return g
     return 0
 
@@ -1159,7 +1182,7 @@ def fastfir_feasible(n: int, p: int) -> bool:
     tables += 4 * (3 * (n2 // 2) * n2 + 2 * n1 * n2 + 2 * n1 * n1)  # inv
     state = 2 * 4 * p * (n // 2) * 2                               # H + ring
     temps = 40 * n
-    return tables + state + temps <= 13 * 1024 * 1024
+    return tables + state + temps <= vmem_budget(13)
 
 
 def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,

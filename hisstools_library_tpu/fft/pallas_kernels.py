@@ -29,8 +29,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for choosing the bin-tile width.
-_VMEM_BUDGET = 10 * 1024 * 1024
+from .pallas_fft import vmem_budget
+
+# VMEM budget for choosing the bin-tile width. Scaled by HISSTOOLS_VMEM_SCALE
+# (see pallas_fft.vmem_budget); boundaries validated by tools/vmem_probe.py.
+_VMEM_BUDGET = vmem_budget(10)
 
 
 def _pick_bin_tile(t: int, p: int, bins: int, dtype_bytes: int = 4) -> int:
@@ -213,7 +216,11 @@ def _pick_bin_tile_causal(t: int, p: int, bins: int) -> int:
     cum_rows = sum(min(p, ti) for ti in range(1, t))
     tile = min(bins, 8192)
     while tile >= 128:
-        need = 4 * 2 * (2 * t + p + 2 * t) * tile + 10 * cum_rows * tile
+        # 4*p*p: the whole (P, P) exchange matrix rides in VMEM (e_spec) —
+        # tile-independent, and dominant at large P (vmem_probe round 2:
+        # the unmodeled 67 MB at P=4096 failed on hardware).
+        need = (4 * p * p + 4 * 2 * (2 * t + p + 2 * t) * tile
+                + 10 * cum_rows * tile)
         if need <= _VMEM_BUDGET and bins % tile == 0:
             return tile
         tile //= 2
@@ -263,8 +270,16 @@ def lag_mac_causal(x_re: jax.Array, x_im: jax.Array,
     return yre, yim
 
 
+# Partition-count envelope for the causal/ring kernels: the byte models above
+# admit P into the low thousands, but the kernels unroll per-lag slices and
+# Mosaic compile time grows super-linearly there (a P~1500 probe compile ran
+# past 10 minutes). 512 bounds the hardware-validated region (vmem_probe
+# compiles the boundary); beyond it the XLA lag loop serves correctly.
+_MAX_MAC_PARTITIONS = 512
+
+
 def lag_mac_causal_fits(t: int, p: int, bins: int) -> bool:
-    return _pick_bin_tile_causal(t, p, bins) > 0
+    return p <= _MAX_MAC_PARTITIONS and _pick_bin_tile_causal(t, p, bins) > 0
 
 
 # -----------------------------------------------------------------------------
@@ -285,7 +300,7 @@ def lag_mac_causal_fits(t: int, p: int, bins: int) -> bool:
 # -----------------------------------------------------------------------------
 
 _HOP_MAX_N = 1024
-_HOP_VMEM_BUDGET = 12 * 1024 * 1024
+_HOP_VMEM_BUDGET = vmem_budget(12)
 
 
 @functools.lru_cache(maxsize=16)
@@ -460,7 +475,9 @@ def _pick_bin_tile_ring(t: int, p: int, bins: int) -> int:
     # kernel), plus the six io blocks.
     tile = min(bins, 8192)
     while tile >= 128:
-        need = 4 * 2 * (3 * p + 3 * t) * tile + 10 * t * p * tile
+        # 4*p*p: the VMEM-resident (P, P) exchange matrix (see causal model).
+        need = (4 * p * p + 4 * 2 * (3 * p + 3 * t) * tile
+                + 10 * t * p * tile)
         if need <= _VMEM_BUDGET and bins % tile == 0:
             return tile
         tile //= 2
@@ -468,7 +485,8 @@ def _pick_bin_tile_ring(t: int, p: int, bins: int) -> int:
 
 
 def lag_mac_ring_fits(t: int, p: int, bins: int) -> bool:
-    return t <= p and _pick_bin_tile_ring(t, p, bins) > 0
+    return (t <= p <= _MAX_MAC_PARTITIONS
+            and _pick_bin_tile_ring(t, p, bins) > 0)
 
 
 def lag_mac_ring(hist_re: jax.Array, hist_im: jax.Array,
