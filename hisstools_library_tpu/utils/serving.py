@@ -53,14 +53,23 @@ class StreamingServer:
     def __init__(self, channels: int, capacity: int = 1 << 16,
                  latency: LatencyMode = LatencyMode.Zero,
                  scheme: Optional[PartitionScheme] = None,
-                 dtype=jnp.float32, backend: Optional[str] = None):
+                 dtype=jnp.float32, backend: Optional[str] = None,
+                 native: Optional[bool] = None):
         self.scheme = scheme if scheme is not None else \
             PartitionScheme.from_latency(latency)
         self.channels = channels
         self.capacity = capacity
         self.dtype = dtype
         self.backend = backend
-        self._swap: MemorySwap[_PreparedIR] = MemorySwap()
+        # The swap cell's lock lives in native memory when the native runtime
+        # is available (native/rt_runtime.cpp — the reference's C++
+        # MemorySwap/ThreadLocks counterpart, usable from non-Python audio
+        # threads); the pure-Python cell is the fallback. ``native`` forces
+        # either choice.
+        from . import native_rt
+        use_native = native_rt.available() if native is None else native
+        self._swap = (native_rt.NativeMemorySwap() if use_native
+                      else MemorySwap())
         self._version = 0
         self._version_lock = threading.Lock()
         # Audio-thread-local (single consumer): current state + the IR version

@@ -7,8 +7,15 @@ loader thread prepares and swaps new IR banks mid-stream
 times, the silent-block count (blocks emitted while the loader held the
 lock), and a post-swap parity check against np.convolve.
 
+With ``--native-host`` the audio callback itself runs as a NATIVE thread
+(native/rt_runtime.cpp AudioHost): capture and playback move through lock-free
+SPSC rings at a fixed block cadence while the Python worker drives the TPU
+engine — the full shape of a production deployment behind a real audio driver,
+with overrun/underrun accounting. (Under the axon tunnel each host sync costs
+~25 ms, so pick a block of >= 2048 samples there; on --cpu any block works.)
+
 Usage: python tools/serve_demo.py [--cpu] [--channels 8] [--block 256]
-       [--swaps 3] [--seconds 2]
+       [--swaps 3] [--seconds 2] [--native-host]
 """
 
 from __future__ import annotations
@@ -25,6 +32,65 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_native_host(args, srv, x, irs):
+    """Stream through the native audio-callback host (rt_runtime.cpp).
+
+    The host thread rasters capture blocks into an SPSC ring and drains
+    playback blocks on the same tick; the Python worker pulls, runs the TPU
+    engine, and pushes. Block raster layout: (channels, frames) C-order."""
+    import threading
+    import time as _time
+    from hisstools_library_tpu.utils import native_rt as rt
+
+    ch, blk, fs = args.channels, args.block, args.fs
+    bf = ch * blk
+    n_blocks = x.shape[-1] // blk
+    warmup = 2
+    src = np.ascontiguousarray(
+        x.reshape(ch, n_blocks, blk).transpose(1, 0, 2)).ravel()
+    in_ring, out_ring = rt.Ring(8 * bf), rt.Ring(8 * bf)
+    host = rt.AudioHost(in_ring, out_ring, src, blk, ch, float(fs),
+                        n_blocks, warmup_blocks=warmup)
+
+    swap_log = []
+
+    def loader():
+        for k in range(1, args.swaps + 1):
+            _time.sleep(args.seconds / (args.swaps + 1))
+            t0 = _time.monotonic()
+            srv.set_ir(irs[k])
+            swap_log.append((_time.monotonic() - t0, k))
+            print(f"  loader: swapped to IR {k} "
+                  f"(prepare+install {swap_log[-1][0] * 1e3:.1f} ms)",
+                  flush=True)
+
+    th = threading.Thread(target=loader)
+    th.start()
+    done, silent = 0, 0
+    deadline = _time.time() + 10 * args.seconds + 30
+    while done < n_blocks and _time.time() < deadline:
+        cap = in_ring.read(bf)
+        if cap.size < bf:
+            _time.sleep(0.0002)
+            continue
+        y, live = srv.process(cap.reshape(ch, blk))
+        if not live:
+            silent += 1
+        out_ring.write(np.asarray(y).ravel())
+        done += 1
+    th.join()
+    stats = host.join()
+    print(f"native host: {stats['blocks']} callbacks of {blk} samples @ "
+          f"{fs} Hz; underruns {stats['underruns']} (after {warmup}-block "
+          f"warmup), overruns {stats['overruns']}, worst wake-up lateness "
+          f"{stats['late_ns_max'] / 1e6:.2f} ms; {silent} silent blocks "
+          f"during swaps", flush=True)
+    ok = (stats["blocks"] == n_blocks and stats["overruns"] == 0
+          and done == n_blocks)
+    print("OK" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -33,6 +99,9 @@ def main(argv=None):
     ap.add_argument("--swaps", type=int, default=3)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--fs", type=int, default=48000)
+    ap.add_argument("--native-host", action="store_true",
+                    help="drive the stream from the native audio-callback "
+                         "thread (requires the native runtime)")
     args = ap.parse_args(argv)
 
     import jax
@@ -74,6 +143,15 @@ def main(argv=None):
     # Warm up the jitted step (compile) before timing.
     y, live = srv.process(x[:, :args.block])
     np.asarray(y)
+
+    if args.native_host:
+        from hisstools_library_tpu.utils import native_rt
+        if not native_rt.available():
+            print("native runtime unavailable (no g++)", flush=True)
+            return 1
+        srv._state = None  # drop the warm-up block from the stream state
+        srv._state_version = -1
+        return run_native_host(args, srv, x, irs)
 
     th = threading.Thread(target=loader)
     th.start()
