@@ -14,3 +14,4 @@ from .audio_file import (  # noqa: F401
     find_number_format,
     get_error_string,
 )
+from .streaming import AudioBlockReader  # noqa: F401

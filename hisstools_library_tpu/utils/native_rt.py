@@ -92,6 +92,17 @@ def load() -> Optional[ctypes.CDLL]:
         "ht_ring_write": (_u64, [_p, _p, _u64]),
         "ht_ring_read": (_u64, [_p, _p, _u64]),
         "ht_ring_discard": (_u64, [_p, _u64]),
+        "ht_bring_create": (_p, [_u64]),
+        "ht_bring_destroy": (None, [_p]),
+        "ht_bring_capacity": (_u64, [_p]),
+        "ht_bring_readable": (_u64, [_p]),
+        "ht_bring_writable": (_u64, [_p]),
+        "ht_bring_write": (_u64, [_p, _p, _u64]),
+        "ht_bring_read": (_u64, [_p, _p, _u64]),
+        "ht_loader_create": (_p, [ctypes.c_char_p, _u64, _u64, _u64, _p]),
+        "ht_loader_finished": (_i32, [_p]),
+        "ht_loader_join": (None, [_p] + [ctypes.POINTER(_i64)] * 3),
+        "ht_loader_destroy": (None, [_p]),
         "ht_host_create": (_p, [_p, _p, _p, _u64, _i32, _i32,
                                 ctypes.c_double, _i64, _i64, _p, _u64]),
         "ht_host_done": (_i32, [_p]),
@@ -260,6 +271,79 @@ class Ring:
     def __del__(self):
         if getattr(self, "_ptr", None):
             self._lib.ht_ring_destroy(self._ptr)
+            self._ptr = None
+
+
+class ByteRing:
+    """Lock-free SPSC byte ring buffer (native; data-loader staging)."""
+
+    def __init__(self, capacity_bytes: int):
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._ptr = self._lib.ht_bring_create(capacity_bytes)
+
+    @property
+    def ptr(self):
+        return self._ptr
+
+    def capacity(self) -> int:
+        return self._lib.ht_bring_capacity(self._ptr)
+
+    def readable(self) -> int:
+        return self._lib.ht_bring_readable(self._ptr)
+
+    def writable(self) -> int:
+        return self._lib.ht_bring_writable(self._ptr)
+
+    def write(self, data: bytes) -> int:
+        buf = np.frombuffer(data, np.uint8)
+        return self._lib.ht_bring_write(
+            self._ptr, buf.ctypes.data_as(_p), buf.size)
+
+    def read(self, n: int) -> bytes:
+        out = np.empty(n, np.uint8)
+        got = self._lib.ht_bring_read(self._ptr, out.ctypes.data_as(_p), n)
+        return out[:got].tobytes()
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.ht_bring_destroy(self._ptr)
+            self._ptr = None
+
+
+class FileLoader:
+    """Native async file loader: a background thread streams a byte range of
+    a file into a :class:`ByteRing` with backpressure — the prefetching
+    data-loader half of the runtime (the reference reads synchronously on the
+    caller's thread, IAudioFile.cpp readAudio loops; a serving host wants the
+    disk off the hot path). Call :meth:`join` after :meth:`finished` (or to
+    abort a partial stream)."""
+
+    def __init__(self, path: str, offset: int, length: int, ring: ByteRing,
+                 chunk_bytes: int = 1 << 16):
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._ring = ring  # keep alive for the thread's lifetime
+        self._ptr = self._lib.ht_loader_create(
+            os.fsencode(path), offset, length, chunk_bytes, ring.ptr)
+        if not self._ptr:
+            raise OSError(f"cannot open/position {path!r} at {offset}")
+
+    def finished(self) -> bool:
+        return bool(self._lib.ht_loader_finished(self._ptr))
+
+    def join(self) -> Dict[str, int]:
+        br, st, er = _i64(), _i64(), _i64()
+        self._lib.ht_loader_join(self._ptr, ctypes.byref(br),
+                                 ctypes.byref(st), ctypes.byref(er))
+        return {"bytes_read": br.value, "stalls": st.value,
+                "io_errors": er.value}
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.ht_loader_destroy(self._ptr)
             self._ptr = None
 
 

@@ -31,6 +31,7 @@
 #include <atomic>
 #include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <thread>
 
@@ -77,12 +78,13 @@ struct SwapCell {
 };
 
 // ---------------------------------------------------------------------------
-// SPSC float ring buffer. head: total floats written (producer-owned);
-// tail: total floats read (consumer-owned). Capacity is a power of two.
+// SPSC ring buffer. head: total elements written (producer-owned);
+// tail: total elements read (consumer-owned). Capacity is a power of two.
 // ---------------------------------------------------------------------------
 
-struct Ring {
-    float* data = nullptr;
+template <typename T>
+struct RingT {
+    T* data = nullptr;
     uint64_t mask = 0;       // capacity - 1
     std::atomic<uint64_t> head{0};
     std::atomic<uint64_t> tail{0};
@@ -96,8 +98,8 @@ struct Ring {
 
     uint64_t writable() const { return capacity() - readable(); }
 
-    // Producer side: copy up to n floats in; returns the count written.
-    uint64_t write(const float* src, uint64_t n) {
+    // Producer side: copy up to n elements in; returns the count written.
+    uint64_t write(const T* src, uint64_t n) {
         uint64_t h = head.load(std::memory_order_relaxed);
         uint64_t t = tail.load(std::memory_order_acquire);
         uint64_t room = capacity() - (h - t);
@@ -107,8 +109,8 @@ struct Ring {
         return n;
     }
 
-    // Consumer side: copy up to n floats out; returns the count read.
-    uint64_t read(float* dst, uint64_t n) {
+    // Consumer side: copy up to n elements out; returns the count read.
+    uint64_t read(T* dst, uint64_t n) {
         uint64_t t = tail.load(std::memory_order_relaxed);
         uint64_t h = head.load(std::memory_order_acquire);
         uint64_t avail = h - t;
@@ -118,7 +120,7 @@ struct Ring {
         return n;
     }
 
-    // Consumer side: drop up to n floats; returns the count dropped.
+    // Consumer side: drop up to n elements; returns the count dropped.
     uint64_t discard(uint64_t n) {
         uint64_t t = tail.load(std::memory_order_relaxed);
         uint64_t h = head.load(std::memory_order_acquire);
@@ -126,6 +128,61 @@ struct Ring {
         if (n > avail) n = avail;
         tail.store(t + n, std::memory_order_release);
         return n;
+    }
+};
+
+using Ring = RingT<float>;        // audio staging (samples)
+using ByteRing = RingT<uint8_t>;  // data-loader staging (raw PCM bytes)
+
+template <typename T>
+void* ring_create(uint64_t capacity) {
+    uint64_t cap = 1;
+    while (cap < capacity) cap <<= 1;
+    RingT<T>* r = new RingT<T>();
+    r->data = new T[cap]();
+    r->mask = cap - 1;
+    return r;
+}
+
+// ---------------------------------------------------------------------------
+// Async file loader: a background thread streams a byte range of a file into
+// a ByteRing with backpressure — the prefetching data-loader half of the
+// native runtime (the reference reads synchronously on the caller's thread,
+// IAudioFile.cpp readAudio; a serving host wants the disk off the hot path).
+// ---------------------------------------------------------------------------
+
+struct FileLoader {
+    FILE* file = nullptr;
+    ByteRing* ring;
+    uint64_t remaining;       // bytes left to deliver
+    uint64_t chunk;           // read granularity
+    std::atomic<bool> stop{false};
+    std::atomic<bool> finished{false};
+    std::atomic<int64_t> bytes_read{0};
+    std::atomic<int64_t> stalls{0};   // ring-full backoffs
+    std::atomic<int64_t> io_errors{0};
+    std::thread thread;
+
+    void run() {
+        uint8_t* buf = new uint8_t[chunk];
+        while (remaining > 0 && !stop.load()) {
+            uint64_t want = remaining < chunk ? remaining : chunk;
+            size_t got = fread(buf, 1, want, file);
+            if (got == 0) { io_errors++; break; }
+            uint64_t pushed = 0;
+            while (pushed < got && !stop.load()) {
+                uint64_t w = ring->write(buf + pushed, got - pushed);
+                pushed += w;
+                if (pushed < got) {
+                    stalls++;
+                    nano_sleep(200'000);
+                }
+            }
+            remaining -= got;
+            bytes_read += got;
+        }
+        delete[] buf;
+        finished.store(true);
     }
 };
 
@@ -245,12 +302,7 @@ void ht_swap_release(void* p) { static_cast<SwapCell*>(p)->lock.release(); }
 
 // capacity_floats is rounded up to a power of two.
 void* ht_ring_create(uint64_t capacity_floats) {
-    uint64_t cap = 1;
-    while (cap < capacity_floats) cap <<= 1;
-    Ring* r = new Ring();
-    r->data = new float[cap]();
-    r->mask = cap - 1;
-    return r;
+    return ring_create<float>(capacity_floats);
 }
 
 void ht_ring_destroy(void* p) {
@@ -270,6 +322,77 @@ uint64_t ht_ring_read(void* p, float* dst, uint64_t n) {
 }
 uint64_t ht_ring_discard(void* p, uint64_t n) {
     return static_cast<Ring*>(p)->discard(n);
+}
+
+// -- byte ring (data-loader staging) ---------------------------------------
+
+void* ht_bring_create(uint64_t capacity_bytes) {
+    return ring_create<uint8_t>(capacity_bytes);
+}
+
+void ht_bring_destroy(void* p) {
+    ByteRing* r = static_cast<ByteRing*>(p);
+    delete[] r->data;
+    delete r;
+}
+
+uint64_t ht_bring_capacity(void* p) {
+    return static_cast<ByteRing*>(p)->capacity();
+}
+uint64_t ht_bring_readable(void* p) {
+    return static_cast<ByteRing*>(p)->readable();
+}
+uint64_t ht_bring_writable(void* p) {
+    return static_cast<ByteRing*>(p)->writable();
+}
+uint64_t ht_bring_write(void* p, const uint8_t* src, uint64_t n) {
+    return static_cast<ByteRing*>(p)->write(src, n);
+}
+uint64_t ht_bring_read(void* p, uint8_t* dst, uint64_t n) {
+    return static_cast<ByteRing*>(p)->read(dst, n);
+}
+
+// -- async file loader ------------------------------------------------------
+
+// Streams [offset, offset + length) of the file into the byte ring from a
+// background thread. Returns null when the file cannot be opened/positioned.
+void* ht_loader_create(const char* path, uint64_t offset, uint64_t length,
+                       uint64_t chunk_bytes, void* byte_ring) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    if (fseek(f, static_cast<long>(offset), SEEK_SET) != 0) {
+        fclose(f);
+        return nullptr;
+    }
+    FileLoader* l = new FileLoader();
+    l->file = f;
+    l->ring = static_cast<ByteRing*>(byte_ring);
+    l->remaining = length;
+    l->chunk = chunk_bytes ? chunk_bytes : (1 << 16);
+    l->thread = std::thread([l] { l->run(); });
+    return l;
+}
+
+int32_t ht_loader_finished(void* p) {
+    return static_cast<FileLoader*>(p)->finished.load() ? 1 : 0;
+}
+
+void ht_loader_join(void* p, int64_t* bytes_read, int64_t* stalls,
+                    int64_t* io_errors) {
+    FileLoader* l = static_cast<FileLoader*>(p);
+    l->stop.store(true);
+    if (l->thread.joinable()) l->thread.join();
+    *bytes_read = l->bytes_read.load();
+    *stalls = l->stalls.load();
+    *io_errors = l->io_errors.load();
+}
+
+void ht_loader_destroy(void* p) {
+    FileLoader* l = static_cast<FileLoader*>(p);
+    l->stop.store(true);
+    if (l->thread.joinable()) l->thread.join();
+    if (l->file) fclose(l->file);
+    delete l;
 }
 
 // -- audio-callback host ----------------------------------------------------

@@ -48,6 +48,80 @@ def write_wav(path, x, sr, pcm="float32"):
         f.write_interleaved(np.asarray(x, np.float64).T)
 
 
+def stream_convolve(args):
+    """Constant-memory streaming path: AudioBlockReader (native prefetch
+    loader + native codec when available) -> carried-state zero-latency
+    scheme engine -> incremental OAudioFile writes. Memory use is bounded by
+    the block size regardless of file length."""
+    import jax
+    import jax.numpy as jnp
+    from hisstools_library_tpu.io import FileType, OAudioFile, PCMFormat
+    from hisstools_library_tpu.io.streaming import AudioBlockReader
+    from hisstools_library_tpu.models import mono
+    from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
+
+    ir, ir_sr = read_wav(args.ir)
+    scheme = PartitionScheme.from_latency(LatencyMode.Zero)  # zero delay
+    hop = scheme.sizes[-1] >> 1
+    block = -(-args.block // hop) * hop
+
+    reader = AudioBlockReader(args.input, block, dtype=np.float32)
+    sr, cx = reader.sampling_rate, reader.channels
+    if abs(sr - ir_sr) > 1e-6:
+        print(f"warning: sample-rate mismatch ({sr} vs {ir_sr}); "
+              "convolving anyway", file=sys.stderr)
+    if ir.shape[0] == 1 and cx > 1:
+        ir = np.broadcast_to(ir, (cx, ir.shape[1]))
+    elif ir.shape[0] != cx and ir.shape[0] > 1:
+        raise SystemExit(f"channel mismatch: input {cx}, IR {ir.shape[0]}")
+
+    prep = mono.prepare_ir(scheme, ir, dtype=jnp.float32, offline_tail=False)
+    state = mono.init_state(scheme, prep, batch_shape=(cx,))
+    step = jax.jit(lambda i, s, b: mono.process(i, s, b, backend="pallas"))
+
+    fmt = {"int16": PCMFormat.Int16, "int24": PCMFormat.Int24,
+           "float32": PCMFormat.Float32}[args.pcm]
+    total_in = reader.frames
+    tail = 0 if args.trim else ir.shape[1] - 1
+    out_len = total_in + tail
+    t0 = time.time()
+    written = 0
+    peak = 0.0
+    with OAudioFile(args.output, FileType.WAVE, fmt, cx, float(sr)) as out:
+        def emit(y, limit):
+            nonlocal written, peak
+            take = min(limit, out_len - written)
+            if take <= 0:
+                return
+            yb = np.asarray(y)[:, :take]
+            peak = max(peak, float(np.abs(yb).max()))
+            out.write_interleaved(yb.astype(np.float64).T)
+            written += take
+
+        for xb in reader:
+            xb = xb.T  # (channels, frames)
+            if xb.shape[-1] % hop:
+                xb = np.pad(xb, ((0, 0), (0, hop - xb.shape[-1] % hop)))
+            state, y = step(prep, state, jnp.asarray(xb))
+            # Zero latency: engine output position == file position, so the
+            # hop-padding samples carry real tail output — emit them all
+            # (emit caps at out_len).
+            emit(y, y.shape[-1])
+        zeros = jnp.zeros((cx, block), jnp.float32)
+        while written < out_len:
+            state, y = step(prep, state, zeros)
+            emit(y, block)
+    reader.close()
+    dt = time.time() - t0
+    rate = cx * out_len / max(dt, 1e-9) / (cx * sr)
+    print(f"streamed {cx} ch x {out_len} frames in {dt:.2f}s "
+          f"({rate:.0f}x real-time incl. IO; block {block}, peak {peak:.3f}"
+          f"{', CLIPPED' if peak > 1.0 and args.pcm != 'float32' else ''})",
+          file=sys.stderr)
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("input")
@@ -65,9 +139,28 @@ def main(argv=None):
                     help="always peak-normalise to -1 dBFS")
     ap.add_argument("--pcm", choices=("int16", "int24", "float32"),
                     default="float32")
+    ap.add_argument("--stream", action="store_true",
+                    help="constant-memory streaming: read/convolve/write in "
+                         "blocks (native prefetching loader when available); "
+                         "input files of any length. --wet/--normalize are "
+                         "whole-signal options and unavailable here")
+    ap.add_argument("--block", type=int, default=1 << 16,
+                    help="streaming block size in frames (rounded up to the "
+                         "engine hop)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (Pallas interpret mode)")
     args = ap.parse_args(argv)
 
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    if args.stream:
+        if args.wet != 1.0 or args.normalize:
+            raise SystemExit("--stream does not support --wet/--normalize "
+                             "(whole-signal operations)")
+        return stream_convolve(args)
 
     x, sr = read_wav(args.input)
     ir, ir_sr = read_wav(args.ir)
