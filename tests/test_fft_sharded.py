@@ -1,0 +1,116 @@
+"""Mesh-sharded four-step FFT (parallel/fft_sharded.py).
+
+Oracle: numpy float64 FFT. The distributed transform must match the
+single-chip path bitwise-closely (same f64-sourced tables, same MXU core),
+stay sharded end-to-end (contiguous chunks in and out), and be invariant to
+the mesh factorisation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hisstools_library_tpu.fft import api as fft_api
+from hisstools_library_tpu.parallel import mesh as mesh_mod
+from hisstools_library_tpu.parallel.fft_sharded import (fft_sharded,
+                                                        sharded_eligible)
+
+
+def _mesh(d):
+    return mesh_mod.make_mesh(channel=1, block=d)
+
+
+def _put(mesh, x):
+    return jax.device_put(jnp.asarray(x),
+                          NamedSharding(mesh, P(mesh_mod.BLOCK_AXIS)))
+
+
+@pytest.mark.parametrize("n", [1 << 10, 1 << 13, 1 << 16])
+def test_forward_matches_numpy_f64(n, rng):
+    mesh = _mesh(8)
+    xr = rng.standard_normal(n)
+    xi = rng.standard_normal(n)
+    fr, fi = jax.jit(lambda a, b: fft_sharded(mesh, a, b))(
+        _put(mesh, xr), _put(mesh, xi))
+    ref = np.fft.fft(xr + 1j * xi)
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-12
+
+
+def test_inverse_roundtrip_and_scaling(rng):
+    """ifft(fft(x)) == N * x (unscaled pair, fft/api.fft conventions)."""
+    n = 1 << 12
+    mesh = _mesh(8)
+    xr = rng.standard_normal(n)
+    xi = rng.standard_normal(n)
+    fr, fi = jax.jit(lambda a, b: fft_sharded(mesh, a, b))(
+        _put(mesh, xr), _put(mesh, xi))
+    br, bi = jax.jit(lambda a, b: fft_sharded(mesh, a, b, inverse=True))(
+        fr, fi)
+    np.testing.assert_allclose(np.asarray(br) / n, xr, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bi) / n, xi, atol=1e-12)
+
+
+def test_matches_single_chip_path(rng):
+    """Same tables, same core: sharded == fft_api.fft to f32 roundoff."""
+    n = 1 << 14
+    mesh = _mesh(8)
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    fr, fi = jax.jit(lambda a, b: fft_sharded(mesh, a, b))(
+        _put(mesh, xr), _put(mesh, xi))
+    rr, ri = fft_api.fft(jnp.asarray(xr), jnp.asarray(xi), backend="matmul")
+    ref = np.asarray(rr) + 1j * np.asarray(ri)
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5
+
+
+def test_output_stays_sharded(rng):
+    n = 1 << 12
+    mesh = _mesh(8)
+    fr, fi = jax.jit(lambda a, b: fft_sharded(mesh, a, b))(
+        _put(mesh, rng.standard_normal(n)), _put(mesh, rng.standard_normal(n)))
+    assert len(fr.sharding.device_set) == 8
+    # contiguous-chunk layout: each shard holds n/8 consecutive elements
+    shard = next(iter(fr.addressable_shards))
+    assert shard.data.shape == (n // 8,)
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_mesh_size_invariance(d, rng):
+    n = 1 << 12
+    xr = rng.standard_normal(n)
+    xi = rng.standard_normal(n)
+    mesh = _mesh(d)
+    fr, fi = jax.jit(lambda a, b: fft_sharded(mesh, a, b))(
+        _put(mesh, xr), _put(mesh, xi))
+    ref = np.fft.fft(xr + 1j * xi)
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_single_device_fallback(rng):
+    n = 256
+    mesh = _mesh(1)
+    xr = rng.standard_normal(n)
+    xi = rng.standard_normal(n)
+    fr, fi = fft_sharded(mesh, jnp.asarray(xr), jnp.asarray(xi))
+    ref = np.fft.fft(xr + 1j * xi)
+    assert np.linalg.norm((np.asarray(fr) + 1j * np.asarray(fi)) - ref) \
+        / np.linalg.norm(ref) < 1e-12
+
+
+def test_eligibility():
+    assert sharded_eligible(1 << 12, 8)
+    assert not sharded_eligible(1 << 12, 3)      # non-pow2 devices
+    assert not sharded_eligible((1 << 12) + 4, 8)  # non-pow2 size
+    assert not sharded_eligible(1 << 5, 8)       # n2 < d
+    mesh = _mesh(8)
+    with pytest.raises(ValueError):
+        fft_sharded(mesh, jnp.zeros(32), jnp.zeros(32))
+    with pytest.raises(ValueError):
+        fft_sharded(mesh, jnp.zeros((2, 4096)), jnp.zeros((2, 4096)))
