@@ -7,7 +7,13 @@ from .mesh import (  # noqa: F401
     replicated,
 )
 from .halo import left_halo, shift_from_left  # noqa: F401
-from .fft_sharded import fft_sharded, sharded_eligible  # noqa: F401
+from .fft_sharded import (  # noqa: F401
+    fft_sharded,
+    real_sharded_eligible,
+    rfft_sharded,
+    rifft_sharded,
+    sharded_eligible,
+)
 from .sharded import (  # noqa: F401
     n_to_one_offline,
     scheme_offline_sharded,

@@ -39,7 +39,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..fft import matmul_fft
 from .mesh import BLOCK_AXIS
 
-__all__ = ["fft_sharded", "sharded_eligible"]
+__all__ = ["fft_sharded", "rfft_sharded", "rifft_sharded",
+           "sharded_eligible", "real_sharded_eligible"]
 
 
 def sharded_eligible(n: int, n_devices: int) -> bool:
@@ -145,3 +146,140 @@ def fft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
     t1d = jnp.stack([jnp.asarray(t1[0]), jnp.asarray(t1[1])], axis=1)
     t3d = jnp.stack([jnp.asarray(t3[0]), jnp.asarray(t3[1])], axis=1)
     return fn(re, im, t1d, t3d)
+
+
+# ---------------------------------------------------------------------------
+# Packed real transforms (the framework's spectrum currency — fft/api.py
+# conventions: N/2 bins, DC in re[0], Nyquist in im[0], forward x2, and
+# rifft(rfft(x)) == 2N x) on top of the sharded complex core.
+#
+# The real<->complex conversion pass needs conj(Z[(M-k) % M]) — a global
+# index MIRROR, which under contiguous-chunk sharding is one ppermute pairing
+# device d with device D-1-d, plus one single-element ppermute for each
+# chunk's wrap-around boundary lane (matmul_fft.rfft_packed is the
+# single-chip reference for the math; HISSTools_FFT_Core.h:934-988 the
+# reference's).
+# ---------------------------------------------------------------------------
+
+
+def real_sharded_eligible(n: int, n_devices: int) -> bool:
+    return n >= 4 * n_devices and sharded_eligible(n // 2, n_devices)
+
+
+def _mirror(z_l, axis_name, d):
+    """Local chunk of mirror[k] = z[(M - k) % M] from z's local chunk.
+
+    Chunk d of the mirror = [z[first of chunk (D-d) % D],
+    reversed(chunk D-1-d)[:-1]]."""
+    mirror_perm = [(s, d - 1 - s) for s in range(d)]
+    first_perm = [(s, (d - s) % d) for s in range(d)]
+    recv = jax.lax.ppermute(z_l, axis_name, mirror_perm)
+    first = jax.lax.ppermute(z_l[..., :1], axis_name, first_perm)
+    return jnp.concatenate([first, jnp.flip(recv, axis=-1)[..., :-1]],
+                           axis=-1)
+
+
+def _half_tw_tables(m: int, d: int, dtype_name: str):
+    """W_N^k (N = 2m) factorised as per-device scalar x replicated W_N^j."""
+    c = m // d
+    dt = np.float32 if dtype_name == "float32" else np.float64
+    ang_dev = np.pi * (np.arange(d) * c) / m
+    ang_j = np.pi * np.arange(c) / m
+    t_dev = np.stack([np.cos(ang_dev), -np.sin(ang_dev)], axis=1).astype(dt)
+    t_j = (np.cos(ang_j).astype(dt), (-np.sin(ang_j)).astype(dt))
+    return t_dev, t_j
+
+
+def rfft_sharded(mesh: Mesh, x: jax.Array, axis_name: str = BLOCK_AXIS
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Packed real FFT of a 1-D real signal sharded over ``axis_name``:
+    returns (re, im) of N/2 bins with the identical contiguous sharding
+    (DC in re[0], Nyquist in im[0], x2 forward scale — fft/api.rfft)."""
+    n = x.shape[-1]
+    d = mesh.shape[axis_name]
+    if x.ndim != 1:
+        raise ValueError("rfft_sharded operates on 1-D signals")
+    if d == 1:
+        return matmul_fft.rfft_packed(x)
+    if not real_sharded_eligible(n, d):
+        raise ValueError(f"size {n} not distributable over {d} devices")
+    m = n // 2
+    spec = P(axis_name)
+
+    deinter = jax.shard_map(
+        lambda xl: (xl[..., 0::2], xl[..., 1::2]), mesh=mesh,
+        in_specs=(spec,), out_specs=(spec, spec), check_vma=False)
+    zr, zi = deinter(x)
+    Zr, Zi = fft_sharded(mesh, zr, zi, inverse=False, axis_name=axis_name)
+
+    t_dev, t_j = _half_tw_tables(m, d, x.dtype.name)
+
+    def recombine(Zr_l, Zi_l, tdev_l):
+        Zr_rev = _mirror(Zr_l, axis_name, d)
+        Zi_rev = -_mirror(Zi_l, axis_name, d)
+        ze_r = 0.5 * (Zr_l + Zr_rev)
+        ze_i = 0.5 * (Zi_l + Zi_rev)
+        zo_r = 0.5 * (Zi_l - Zi_rev)
+        zo_i = -0.5 * (Zr_l - Zr_rev)
+        twr, twi = _cmul(tdev_l[0, 0], tdev_l[0, 1],
+                         jnp.asarray(t_j[0]), jnp.asarray(t_j[1]))
+        pr = 2.0 * (ze_r + (zo_r * twr - zo_i * twi))
+        pi = 2.0 * (ze_i + (zo_r * twi + zo_i * twr))
+        # DC/Nyquist pack in lane 0 of device 0 (values valid there only).
+        lane0 = (jnp.arange(pr.shape[-1]) == 0) & \
+            (jax.lax.axis_index(axis_name) == 0)
+        pr = jnp.where(lane0, 2.0 * (Zr_l[..., :1] + Zi_l[..., :1]), pr)
+        pi = jnp.where(lane0, 2.0 * (Zr_l[..., :1] - Zi_l[..., :1]), pi)
+        return pr, pi
+
+    fn = jax.shard_map(recombine, mesh=mesh,
+                       in_specs=(spec, spec, P(axis_name, None)),
+                       out_specs=(spec, spec), check_vma=False)
+    return fn(Zr, Zi, jnp.asarray(t_dev))
+
+
+def rifft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
+                  axis_name: str = BLOCK_AXIS) -> jax.Array:
+    """Inverse of :func:`rfft_sharded`, unscaled convention:
+    ``rifft_sharded(rfft_sharded(x)) == 2 N x`` (fft/api.rifft)."""
+    m = re.shape[-1]
+    d = mesh.shape[axis_name]
+    if re.ndim != 1:
+        raise ValueError("rifft_sharded operates on 1-D spectra")
+    if d == 1:
+        return matmul_fft.rifft_packed(re, im)
+    if not real_sharded_eligible(2 * m, d):
+        raise ValueError(f"size {2 * m} not distributable over {d} devices")
+    spec = P(axis_name)
+    t_dev, t_j = _half_tw_tables(m, d, re.dtype.name)
+
+    def build_z(xr_l, xi_l, tdev_l):
+        idx0 = jax.lax.axis_index(axis_name) == 0
+        lane0 = (jnp.arange(xr_l.shape[-1]) == 0) & idx0
+        # X'[m] (Nyquist) lives packed in im[0]; the true imag[0] is 0.
+        xi0 = jnp.where(lane0, 0.0, xi_l)
+        xr_rev = _mirror(xr_l, axis_name, d)
+        # mirror[0] should be X'[m] = packed im[0] (device 0's lane 0)
+        xr_rev = jnp.where(lane0, xi_l[..., :1], xr_rev)
+        xi_rev = -_mirror(xi0, axis_name, d)
+        ze_r = 0.5 * (xr_l + xr_rev)
+        ze_i = 0.5 * (xi0 + xi_rev)
+        do_r = 0.5 * (xr_l - xr_rev)
+        do_i = 0.5 * (xi0 - xi_rev)
+        twr, twi = _cmul(tdev_l[0, 0], tdev_l[0, 1],
+                         jnp.asarray(t_j[0]), jnp.asarray(t_j[1]))
+        # Zo = conj(W^k) * (X - conj(Xrev))/2
+        zo_r = do_r * twr + do_i * twi
+        zo_i = -do_r * twi + do_i * twr
+        return ze_r - zo_i, ze_i + zo_r
+
+    fn = jax.shard_map(build_z, mesh=mesh,
+                       in_specs=(spec, spec, P(axis_name, None)),
+                       out_specs=(spec, spec), check_vma=False)
+    Zr, Zi = fn(re, im, jnp.asarray(t_dev))
+    wr, wi = fft_sharded(mesh, Zr, Zi, inverse=True, axis_name=axis_name)
+
+    inter = jax.shard_map(
+        lambda a, b: 2.0 * jnp.stack([a, b], axis=-1).reshape(-1),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False)
+    return inter(wr, wi)

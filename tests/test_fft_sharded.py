@@ -14,8 +14,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from hisstools_library_tpu.fft import api as fft_api
 from hisstools_library_tpu.parallel import mesh as mesh_mod
-from hisstools_library_tpu.parallel.fft_sharded import (fft_sharded,
-                                                        sharded_eligible)
+from hisstools_library_tpu.parallel.fft_sharded import (
+    fft_sharded, real_sharded_eligible, rfft_sharded, rifft_sharded,
+    sharded_eligible)
 
 
 def _mesh(d):
@@ -104,11 +105,50 @@ def test_single_device_fallback(rng):
         / np.linalg.norm(ref) < 1e-12
 
 
+@pytest.mark.parametrize("n", [1 << 8, 1 << 12, 1 << 15])
+def test_rfft_sharded_matches_packed_api(n, rng):
+    """Packed layout parity (DC in re[0], Nyquist in im[0], x2 forward)."""
+    mesh = _mesh(8)
+    x = rng.standard_normal(n)
+    pr, pi = jax.jit(lambda a: rfft_sharded(mesh, a))(_put(mesh, x))
+    rr, ri = fft_api.rfft(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(rr),
+                               atol=1e-10 * n)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(ri),
+                               atol=1e-10 * n)
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_rifft_roundtrip_2n_scaling(d, rng):
+    """rifft_sharded(rfft_sharded(x)) == 2 N x — the package-wide packed
+    convention every downstream scale factor depends on."""
+    n = 1 << 12
+    mesh = _mesh(d)
+    x = rng.standard_normal(n)
+    pr, pi = jax.jit(lambda a: rfft_sharded(mesh, a))(_put(mesh, x))
+    y = jax.jit(lambda a, b: rifft_sharded(mesh, a, b))(pr, pi)
+    np.testing.assert_allclose(np.asarray(y) / (2 * n), x, atol=1e-12)
+
+
+def test_rfft_sharded_f32_snr(rng):
+    n = 1 << 14
+    mesh = _mesh(8)
+    x = rng.standard_normal(n).astype(np.float32)
+    pr, pi = jax.jit(lambda a: rfft_sharded(mesh, a))(_put(mesh, x))
+    rr, ri = fft_api.rfft(jnp.asarray(x).astype(jnp.float64))
+    ref = np.concatenate([np.asarray(rr), np.asarray(ri)])
+    got = np.concatenate([np.asarray(pr), np.asarray(pi)]).astype(np.float64)
+    snr = 10 * np.log10((ref ** 2).sum() / ((got - ref) ** 2).sum())
+    assert snr > 110, snr
+
+
 def test_eligibility():
     assert sharded_eligible(1 << 12, 8)
     assert not sharded_eligible(1 << 12, 3)      # non-pow2 devices
     assert not sharded_eligible((1 << 12) + 4, 8)  # non-pow2 size
     assert not sharded_eligible(1 << 5, 8)       # n2 < d
+    assert real_sharded_eligible(1 << 12, 8)
+    assert not real_sharded_eligible(1 << 5, 8)
     mesh = _mesh(8)
     with pytest.raises(ValueError):
         fft_sharded(mesh, jnp.zeros(32), jnp.zeros(32))
