@@ -8,6 +8,7 @@ from .mesh import (  # noqa: F401
 )
 from .halo import left_halo, shift_from_left  # noqa: F401
 from .fft_sharded import (  # noqa: F401
+    convolve_sharded,
     fft_sharded,
     real_sharded_eligible,
     rfft_sharded,

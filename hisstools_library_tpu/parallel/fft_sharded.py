@@ -40,7 +40,7 @@ from ..fft import matmul_fft
 from .mesh import BLOCK_AXIS
 
 __all__ = ["fft_sharded", "rfft_sharded", "rifft_sharded",
-           "sharded_eligible", "real_sharded_eligible"]
+           "convolve_sharded", "sharded_eligible", "real_sharded_eligible"]
 
 
 def sharded_eligible(n: int, n_devices: int) -> bool:
@@ -283,3 +283,50 @@ def rifft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
         lambda a, b: 2.0 * jnp.stack([a, b], axis=-1).reshape(-1),
         mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False)
     return inter(wr, wi)
+
+
+def convolve_sharded(mesh: Mesh, x: jax.Array, h: jax.Array,
+                     axis_name: str = BLOCK_AXIS) -> jax.Array:
+    """Distributed linear convolution of two 1-D real signals.
+
+    The mesh-scale composition of spectral_processor.convolve (reference
+    SpectralProcessor.hpp:164-184): pad both to a shared power of two,
+    rfft_sharded each, multiply the packed spectra bin-wise (DC/Nyquist lanes
+    are real and multiply independently — core/types.packed_mul semantics,
+    reference SpectralFunctions.hpp:63-84 — which under contiguous sharding
+    only concerns device 0's lane 0), rifft_sharded, 0.25/N scale. Output has
+    the full length lx + lh - 1 and stays sharded over ``axis_name``."""
+    lx, lh = x.shape[-1], h.shape[-1]
+    out_len = lx + lh - 1
+    d = mesh.shape[axis_name]
+    n = 1
+    while n < out_len or (d > 1 and not real_sharded_eligible(n, d)):
+        n <<= 1
+    spec = P(axis_name)
+    sh = jax.NamedSharding(mesh, spec)
+    xp = jax.lax.with_sharding_constraint(
+        jnp.pad(x, (0, n - lx)), sh)
+    hp = jax.lax.with_sharding_constraint(
+        jnp.pad(h, (0, n - lh)), sh)
+    xr, xi = rfft_sharded(mesh, xp, axis_name)
+    hr, hi = rfft_sharded(mesh, hp, axis_name)
+
+    def mul(ar, ai, br, bi):
+        pr = ar * br - ai * bi
+        pi = ar * bi + ai * br
+        lane0 = (jnp.arange(ar.shape[-1]) == 0) & \
+            (jax.lax.axis_index(axis_name) == 0)
+        pr = jnp.where(lane0, ar * br, pr)   # DC (real x real)
+        pi = jnp.where(lane0, ai * bi, pi)   # Nyquist (real x real)
+        return pr, pi
+
+    if d == 1:
+        from ..core.types import Split, packed_mul
+        prod = packed_mul(Split(xr, xi), Split(hr, hi))
+        pr, pi = prod.re, prod.im
+    else:
+        fn = jax.shard_map(mul, mesh=mesh, in_specs=(spec,) * 4,
+                           out_specs=(spec, spec), check_vma=False)
+        pr, pi = fn(xr, xi, hr, hi)
+    y = rifft_sharded(mesh, pr, pi, axis_name) * (0.25 / n)
+    return y[:out_len]

@@ -15,8 +15,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from hisstools_library_tpu.fft import api as fft_api
 from hisstools_library_tpu.parallel import mesh as mesh_mod
 from hisstools_library_tpu.parallel.fft_sharded import (
-    fft_sharded, real_sharded_eligible, rfft_sharded, rifft_sharded,
-    sharded_eligible)
+    convolve_sharded, fft_sharded, real_sharded_eligible, rfft_sharded,
+    rifft_sharded, sharded_eligible)
 
 
 def _mesh(d):
@@ -140,6 +140,19 @@ def test_rfft_sharded_f32_snr(rng):
     got = np.concatenate([np.asarray(pr), np.asarray(pi)]).astype(np.float64)
     snr = 10 * np.log10((ref ** 2).sum() / ((got - ref) ** 2).sum())
     assert snr > 110, snr
+
+
+@pytest.mark.parametrize("d", [1, 4, 8])
+def test_convolve_sharded_matches_np(d, rng):
+    """Distributed spectral convolution vs np.convolve (full linear)."""
+    mesh = _mesh(d)
+    x = rng.standard_normal(20000)
+    h = rng.standard_normal(3000)
+    y = jax.jit(lambda a, b: convolve_sharded(mesh, a, b))(
+        jnp.asarray(x), jnp.asarray(h))
+    ref = np.convolve(x, h)
+    assert y.shape == ref.shape
+    assert np.abs(np.asarray(y) - ref).max() / np.abs(ref).max() < 1e-11
 
 
 def test_eligibility():
