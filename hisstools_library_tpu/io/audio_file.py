@@ -382,7 +382,11 @@ class IAudioFile(BaseAudioFile):
                 ssnd_offset = struct.unpack(">I", f.read(4))[0]
                 f.read(4)  # block size
                 self.pcm_offset = offset + 8 + ssnd_offset
-        if not fmt_valid or not self.pcm_offset:
+        if not fmt_valid or not self.pcm_offset or self.channels < 1 \
+                or not self.sampling_rate > 0:
+            # A parseable header with zero channels / nonpositive rate is
+            # still a malformed file; without this flag a later
+            # read_interleaved would divide by the zero frame size.
             self._set_error(Error.FILE_BAD_FORMAT)
 
     @staticmethod
@@ -434,7 +438,10 @@ class IAudioFile(BaseAudioFile):
             elif ctag == b"data":
                 self.pcm_offset = offset
                 data_size = size
-        if not fmt_valid or not self.pcm_offset:
+        if not fmt_valid or not self.pcm_offset or self.channels < 1 \
+                or not self.sampling_rate > 0:
+            # See the AIFF parser: zero channels / nonpositive rate would
+            # divide by zero in read_interleaved's frame math.
             self._set_error(Error.FILE_BAD_FORMAT)
             return
         self.frames = data_size // self.frame_byte_count if self.frame_byte_count else 0
