@@ -46,21 +46,31 @@ def log(*args):
 
 def _sync(out):
     # block_until_ready is a no-op under the axon remote backend; a tiny
-    # device_get forces the computation to complete.
-    np.asarray(out[..., :1])
+    # device_get (utils.profiling.sync) forces the computation to complete.
+    from hisstools_library_tpu.utils.profiling import sync
+    sync(out)
 
 
 def _time_chain(fn, n_iters: int, rounds: int = 3):
-    """Best amortized seconds/iteration: dispatch a chain, sync once."""
-    times = []
-    for _ in range(rounds):
-        t0 = time.time()
-        out = None
-        for _ in range(n_iters):
-            out = fn()
-        _sync(out)
-        times.append((time.time() - t0) / n_iters)
-    return min(times), times
+    """Slope-timed seconds/iteration: time dispatch chains of N and 2N
+    (one sync each) and take the slope — the axon tunnel's ~25 ms sync
+    cancels instead of adding ~25/N ms of fake per-iteration cost (the same
+    methodology as the headline/latency benches). Returns
+    (sec/iter, (chain_N_sec, chain_2N_sec))."""
+    def chain_best(k: int) -> float:
+        best = np.inf
+        for _ in range(rounds):
+            t0 = time.time()
+            out = None
+            for _ in range(k):
+                out = fn()
+            _sync(out)
+            best = min(best, time.time() - t0)
+        return best
+
+    t_n = chain_best(n_iters)
+    t_2n = chain_best(2 * n_iters)
+    return (t_2n - t_n) / n_iters, (t_n, t_2n)
 
 
 def emit(metric: str, value: float, unit: str, vs_baseline: float):
@@ -181,8 +191,9 @@ def run_fft(backend: str):
     fwd = jax.jit(lambda xx: fft_api.rifft(
         *fft_api.rfft(xx, backend=backend), backend=backend))
     _sync(fwd(x))
-    best, times = _time_chain(lambda: fwd(x), 20)
-    log(f"fft roundtrip n={n} batch={batch}: {[round(t*1e3,3) for t in times]} ms")
+    best, (t_n, t_2n) = _time_chain(lambda: fwd(x), 20)
+    log(f"fft roundtrip n={n} batch={batch}: chains {t_n*1e3:.1f}/{t_2n*1e3:.1f}"
+        f" ms -> slope {best*1e3:.3f} ms/pass")
     roundtrips = batch / best
     y = fwd(x)
     snr = _snr(np.asarray(x, np.float64) * 2 * n, np.asarray(y, np.float64))
@@ -212,9 +223,9 @@ def run_stft(channels: int, fs: int, backend: str):
 
     fwd = jax.jit(roundtrip)
     _sync(fwd(x))
-    best, times = _time_chain(lambda: fwd(x), 5)
-    log(f"stft roundtrip {channels}ch x {sig_len}: "
-        f"{[round(t*1e3,2) for t in times]} ms")
+    best, (t_n, t_2n) = _time_chain(lambda: fwd(x), 5)
+    log(f"stft roundtrip {channels}ch x {sig_len}: chains "
+        f"{t_n*1e3:.1f}/{t_2n*1e3:.1f} ms -> slope {best*1e3:.2f} ms/pass")
     y = fwd(x)
     snr = _snr(np.asarray(x[0], np.float64), np.asarray(y[0], np.float64))
     log(f"analysis/resynthesis SNR: {snr:.1f} dB")
@@ -237,9 +248,9 @@ def run_tdfir(channels: int, fs: int, backend: str):
 
     fwd = jax.jit(td.fir_offline)
     _sync(fwd(x, h))
-    best, times = _time_chain(lambda: fwd(x, h), 10)
-    log(f"td fir {taps} taps {channels}ch x {sig_len}: "
-        f"{[round(t*1e3,2) for t in times]} ms")
+    best, (t_n, t_2n) = _time_chain(lambda: fwd(x, h), 10)
+    log(f"td fir {taps} taps {channels}ch x {sig_len}: chains "
+        f"{t_n*1e3:.1f}/{t_2n*1e3:.1f} ms -> slope {best*1e3:.2f} ms/pass")
     y = fwd(x, h)
     k = min(sig_len, 1 << 15)
     ref = np.convolve(np.asarray(x[0], np.float64),
@@ -285,8 +296,9 @@ def run_pipeline(fs: int, backend: str):
     ed = jnp.asarray(exc, jnp.float32)
     out0 = (fwd(md, ed),)
     _sync(out0[0])
-    best, times = _time_chain(lambda: fwd(md, ed), 5)
-    log(f"ir pipeline ({sig_len} samples): {[round(t*1e3,2) for t in times]} ms")
+    best, (t_n, t_2n) = _time_chain(lambda: fwd(md, ed), 5)
+    log(f"ir pipeline ({sig_len} samples): chains {t_n*1e3:.1f}/{t_2n*1e3:.1f}"
+        f" ms -> slope {best*1e3:.2f} ms/pass")
     s = _snr(ir_true[:2048], np.asarray(out0[0][:2048], np.float64))
     log(f"deconvolved IR SNR vs truth (first 2048): {s:.1f} dB")
     pps = sig_len / best
@@ -385,11 +397,7 @@ def main():
             f"(partitions: {[s.shape[-2] for s in ir.spectra]})")
         fwd = jax.jit(lambda i, xx: mono.process_offline(i, xx, backend=backend))
     xd = jnp.asarray(x)
-
-    def sync(out):
-        # block_until_ready is a no-op under the axon remote backend; a tiny
-        # device_get forces the computation to complete.
-        np.asarray(out[..., :1])
+    sync = _sync
 
     t0 = time.time()
     y = fwd(ir, xd)

@@ -67,6 +67,13 @@ class AudioBlockReader:
         return -(-self.frames // self.frames_per_block)
 
     def _decode(self, raw: bytes) -> np.ndarray:
+        # A truncated file can deliver a partial frame (or even a partial
+        # sample) in the final chunk; trim to whole frames so the decoders'
+        # frombuffer/reshape never raise — "yield what we have" semantics.
+        fbc = self.file.frame_byte_count
+        raw = raw[:(len(raw) // fbc) * fbc]
+        if not raw:
+            return np.zeros((0, self.channels), self.dtype)
         wave_uint8 = (self.file.file_type == FileType.WAVE
                       and self.file.pcm_format == PCMFormat.Int8)
         little = self.file.audio_endianness.name == "Little"
@@ -108,7 +115,9 @@ class AudioBlockReader:
                 if not got:
                     break
                 delivered += got
-                yield self._decode(b"".join(chunks))
+                block = self._decode(b"".join(chunks))
+                if block.shape[0]:
+                    yield block
         finally:
             loader.join()
 

@@ -203,6 +203,8 @@ class MonoConvolve:
         self.plans = self.scheme.sections()
         self.ir: Optional[MonoIR] = None
         self.length = 0
+        self._tail_lazy = False
+        self._ir_host = None  # held only until a lazy tail is built
 
     def resize(self, length: int) -> ConvolveError:
         """Grow the final section's capacity (reference MonoConvolve::resize,
@@ -230,7 +232,9 @@ class MonoConvolve:
             else:
                 err = ConvolveError.MEM_ALLOC_TOO_SMALL
         self._tail_lazy = offline_tail is None
-        self._ir_host = ir
+        # The host IR copy is only needed to build a lazy tail; released on
+        # first process_offline so large banks don't pin 2x host memory.
+        self._ir_host = ir if self._tail_lazy else None
         self._dtype = dtype
         self._backend = backend
         self.ir = prepare_ir(self.scheme, ir, self.max_length, dtype, backend,
@@ -269,10 +273,16 @@ class MonoConvolve:
     def process_offline(self, x: jax.Array,
                         backend: Optional[str] = None) -> jax.Array:
         if (self.ir is not None and self.ir.tail is None
-                and getattr(self, "_tail_lazy", False)):
-            # First offline use: attach the throughput-optimal tail (see set()).
-            self.ir = prepare_ir(self.scheme, self._ir_host, self.max_length,
-                                 self._dtype, self._backend, offline_tail=True)
+                and getattr(self, "_tail_lazy", False)
+                and self._ir_host is not None):
+            # First offline use: attach ONLY the missing throughput-optimal
+            # tail (see set()) — the head taps and per-section spectra are
+            # already built and do not depend on the tail, so re-running the
+            # full prepare_ir would redo every section rFFT for nothing.
+            tail, shift = _make_offline_tail(self.scheme, self._ir_host,
+                                             self._dtype, self._backend)
+            self.ir = MonoIR(self.ir.head_taps, self.ir.spectra, tail, shift)
+            self._ir_host = None  # release the host copy
         return process_offline(self.ir, x, backend=backend)
 
 
@@ -299,16 +309,25 @@ def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
     # delayed by the scheme latency — one throughput-optimal uniform engine
     # replaces the entire stack (the non-uniform sizes and the TD head only
     # exist to bound streaming latency).
-    tail = None
-    tail_shift = 0
-    if offline_tail and ir.shape[-1] > 0:
-        from .offline import choose_fft_size
-        nprime = choose_fft_size(ir.shape[-1], ir.shape[-1])
-        shift = (nprime >> 1) - scheme.latency
-        if shift >= 0:
-            tail = part.impulse_spectra(ir, nprime, 0, 0, dtype, backend)
-            tail_shift = shift
+    tail, tail_shift = (_make_offline_tail(scheme, ir, dtype, backend)
+                        if offline_tail else (None, 0))
     return MonoIR(jnp.asarray(head, dtype), tuple(spectra), tail, tail_shift)
+
+
+def _make_offline_tail(scheme: PartitionScheme, ir, dtype, backend):
+    """The offline "tail": the WHOLE IR re-partitioned at the throughput-
+    optimal uniform FFT size, applied with a ``tail_shift`` realignment (see
+    :class:`MonoIR`). Separated from :func:`prepare_ir` so a lazily-built
+    tail attaches to an existing MonoIR without redoing the section rFFTs."""
+    ir = np.asarray(ir)
+    if ir.shape[-1] == 0:
+        return None, 0
+    from .offline import choose_fft_size
+    nprime = choose_fft_size(ir.shape[-1], ir.shape[-1])
+    shift = (nprime >> 1) - scheme.latency
+    if shift < 0:
+        return None, 0
+    return part.impulse_spectra(ir, nprime, 0, 0, dtype, backend), shift
 
 
 def init_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),

@@ -165,14 +165,17 @@ class Convolver:
                         backend: Optional[str] = None) -> jax.Array:
         return process_offline(self.ir, ins, self.parallel, backend=backend)
 
-    def reset(self, in_chan: Optional[int] = None, out_chan: Optional[int] = None,
+    def reset(self, *, in_chan: Optional[int] = None,
+              out_chan: Optional[int] = None,
               state: Optional[mono.MonoState] = None,
               dtype=jnp.float32) -> mono.MonoState:
         """Streaming-state reset (reference Convolver::reset, :80-104).
 
         With no channel arguments returns a fresh full state. With channel
         arguments (and the current ``state``) zeroes only that channel's
-        history, matching the reference's per-channel reset semantics."""
+        history, matching the reference's per-channel reset semantics.
+        Keyword-only: the pre-round-2 signature was ``reset(dtype)``, so a
+        positional argument would silently bind a dtype to ``in_chan``."""
         if in_chan is None and out_chan is None:
             return self.init_state(dtype)
         if state is None:

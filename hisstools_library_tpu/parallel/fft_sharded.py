@@ -108,7 +108,7 @@ def fft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
     m = n2 // d
     t1, t2, t3, t4 = _phase_tables(n, d, re.dtype.name, inverse)
 
-    def local(re_l, im_l, t1_l, t3_l):
+    def local(re_l, im_l, t1_l, t3_l, t2_l, t4_l):
         # re_l: this device's contiguous chunk of x = a (n1/d, n2) row block
         # of A. One all_to_all turns it into all rows for a slab of m columns.
         a0r = re_l.reshape(n1 // d, n2)
@@ -122,12 +122,12 @@ def fft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
         br, bi = matmul_fft.fft_split(ar.T, ai.T, inverse=inverse)  # (m, k1)
         # Twiddle W_N^{n2 k1} = T1[dev] * T2 (factorised).
         twr, twi = _cmul(t1_l[0, 0][None, :], t1_l[0, 1][None, :],
-                         jnp.asarray(t2[0]), jnp.asarray(t2[1]))  # (m, n1)
+                         t2_l[0], t2_l[1])  # (m, n1)
         cr, ci = _cmul(br, bi, twr, twi)
         # Step 4: partial DFT over this device's n2 slab (dense MXU matmul),
         # summed across devices straight into k2-sharded form.
         fr, fi = _cmul(t3_l[0, 0][None, :], t3_l[0, 1][None, :],
-                       jnp.asarray(t4[0]), jnp.asarray(t4[1]))  # (m, n2)
+                       t4_l[0], t4_l[1])  # (m, n2)
         dr, di = matmul_fft._cmatmul(cr.T, ci.T, fr, fi)  # (k1, k2) partial
         dr = jax.lax.psum_scatter(dr, axis_name, scatter_dimension=1,
                                   tiled=True)          # (n1, m)
@@ -139,13 +139,19 @@ def fft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
 
     spec = P(axis_name)
     tspec = P(axis_name, None, None)
+    rspec = P()  # replicated O(N/D) tables, passed as ARGUMENTS: closing
+    # over them would bake them into the compiled body as constants, which
+    # the axon remote compiler rejects past ~100 MB (exactly the huge-N
+    # regime this module exists for).
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(spec, spec, tspec, tspec),
+                       in_specs=(spec, spec, tspec, tspec, rspec, rspec),
                        out_specs=(spec, spec), check_vma=False)
     # Per-device tables stacked on the mesh axis: (d, 2, n) = (cos, sin).
     t1d = jnp.stack([jnp.asarray(t1[0]), jnp.asarray(t1[1])], axis=1)
     t3d = jnp.stack([jnp.asarray(t3[0]), jnp.asarray(t3[1])], axis=1)
-    return fn(re, im, t1d, t3d)
+    t2r = jnp.stack([jnp.asarray(t2[0]), jnp.asarray(t2[1])])  # (2, m, n1)
+    t4r = jnp.stack([jnp.asarray(t4[0]), jnp.asarray(t4[1])])  # (2, m, n2)
+    return fn(re, im, t1d, t3d, t2r, t4r)
 
 
 # ---------------------------------------------------------------------------
@@ -214,15 +220,14 @@ def rfft_sharded(mesh: Mesh, x: jax.Array, axis_name: str = BLOCK_AXIS
 
     t_dev, t_j = _half_tw_tables(m, d, x.dtype.name)
 
-    def recombine(Zr_l, Zi_l, tdev_l):
+    def recombine(Zr_l, Zi_l, tdev_l, tj_l):
         Zr_rev = _mirror(Zr_l, axis_name, d)
         Zi_rev = -_mirror(Zi_l, axis_name, d)
         ze_r = 0.5 * (Zr_l + Zr_rev)
         ze_i = 0.5 * (Zi_l + Zi_rev)
         zo_r = 0.5 * (Zi_l - Zi_rev)
         zo_i = -0.5 * (Zr_l - Zr_rev)
-        twr, twi = _cmul(tdev_l[0, 0], tdev_l[0, 1],
-                         jnp.asarray(t_j[0]), jnp.asarray(t_j[1]))
+        twr, twi = _cmul(tdev_l[0, 0], tdev_l[0, 1], tj_l[0], tj_l[1])
         pr = 2.0 * (ze_r + (zo_r * twr - zo_i * twi))
         pi = 2.0 * (ze_i + (zo_r * twi + zo_i * twr))
         # DC/Nyquist pack in lane 0 of device 0 (values valid there only).
@@ -232,10 +237,12 @@ def rfft_sharded(mesh: Mesh, x: jax.Array, axis_name: str = BLOCK_AXIS
         pi = jnp.where(lane0, 2.0 * (Zr_l[..., :1] - Zi_l[..., :1]), pi)
         return pr, pi
 
+    # t_j is O(N/D): pass as a replicated argument, never a baked constant.
     fn = jax.shard_map(recombine, mesh=mesh,
-                       in_specs=(spec, spec, P(axis_name, None)),
+                       in_specs=(spec, spec, P(axis_name, None), P()),
                        out_specs=(spec, spec), check_vma=False)
-    return fn(Zr, Zi, jnp.asarray(t_dev))
+    return fn(Zr, Zi, jnp.asarray(t_dev), jnp.stack(
+        [jnp.asarray(t_j[0]), jnp.asarray(t_j[1])]))
 
 
 def rifft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
@@ -253,7 +260,7 @@ def rifft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
     spec = P(axis_name)
     t_dev, t_j = _half_tw_tables(m, d, re.dtype.name)
 
-    def build_z(xr_l, xi_l, tdev_l):
+    def build_z(xr_l, xi_l, tdev_l, tj_l):
         idx0 = jax.lax.axis_index(axis_name) == 0
         lane0 = (jnp.arange(xr_l.shape[-1]) == 0) & idx0
         # X'[m] (Nyquist) lives packed in im[0]; the true imag[0] is 0.
@@ -266,17 +273,17 @@ def rifft_sharded(mesh: Mesh, re: jax.Array, im: jax.Array,
         ze_i = 0.5 * (xi0 + xi_rev)
         do_r = 0.5 * (xr_l - xr_rev)
         do_i = 0.5 * (xi0 - xi_rev)
-        twr, twi = _cmul(tdev_l[0, 0], tdev_l[0, 1],
-                         jnp.asarray(t_j[0]), jnp.asarray(t_j[1]))
+        twr, twi = _cmul(tdev_l[0, 0], tdev_l[0, 1], tj_l[0], tj_l[1])
         # Zo = conj(W^k) * (X - conj(Xrev))/2
         zo_r = do_r * twr + do_i * twi
         zo_i = -do_r * twi + do_i * twr
         return ze_r - zo_i, ze_i + zo_r
 
     fn = jax.shard_map(build_z, mesh=mesh,
-                       in_specs=(spec, spec, P(axis_name, None)),
+                       in_specs=(spec, spec, P(axis_name, None), P()),
                        out_specs=(spec, spec), check_vma=False)
-    Zr, Zi = fn(re, im, jnp.asarray(t_dev))
+    Zr, Zi = fn(re, im, jnp.asarray(t_dev), jnp.stack(
+        [jnp.asarray(t_j[0]), jnp.asarray(t_j[1])]))
     wr, wi = fft_sharded(mesh, Zr, Zi, inverse=True, axis_name=axis_name)
 
     inter = jax.shard_map(
@@ -299,6 +306,11 @@ def convolve_sharded(mesh: Mesh, x: jax.Array, h: jax.Array,
     lx, lh = x.shape[-1], h.shape[-1]
     out_len = lx + lh - 1
     d = mesh.shape[axis_name]
+    if d > 1 and (d & (d - 1)):
+        # real_sharded_eligible is False for EVERY n on a non-power-of-two
+        # axis; without this guard the size search below would never end.
+        raise ValueError(f"convolve_sharded needs a power-of-two mesh axis, "
+                         f"got {d} devices")
     n = 1
     while n < out_len or (d > 1 and not real_sharded_eligible(n, d)):
         n <<= 1

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..models import mono
 from ..models.mono import PartitionScheme, LatencyMode
+from . import profiling
 from .memory_swap import MemorySwap
 
 
@@ -104,7 +105,14 @@ class StreamingServer:
         padded[:, :length] = ir
         prepared_ir = mono.prepare_ir(self.scheme, padded, dtype=self.dtype,
                                       backend=self.backend, offline_tail=False)
-        jax.block_until_ready(prepared_ir.head_taps)
+        # Force EVERY prepared array to completion before installing the swap:
+        # jax.block_until_ready is a no-op under axon, so a swap installed
+        # after it could still stall the audio thread's first post-swap block
+        # behind the queued per-partition rFFTs. profiling.sync (a 1-element
+        # device_get) is the documented barrier; loader-thread latency is off
+        # the hot path.
+        for leaf in jax.tree_util.tree_leaves(prepared_ir):
+            profiling.sync(leaf)
         with self._version_lock:
             self._version += 1
             version = self._version

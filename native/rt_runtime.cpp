@@ -191,7 +191,10 @@ struct FileLoader {
 // ---------------------------------------------------------------------------
 
 struct HostStats {
-    int64_t blocks = 0;       // callbacks fired
+    // `blocks` is polled by ht_host_done from another thread while the host
+    // thread increments it — atomic, like FileLoader's finished/bytes_read.
+    // The rest are only read after ht_host_join joins the thread.
+    std::atomic<int64_t> blocks{0};  // callbacks fired
     int64_t underruns = 0;    // playback blocks with insufficient samples
     int64_t overruns = 0;     // capture blocks that didn't fit the input ring
     int64_t late_ns_max = 0;  // worst wake-up lateness observed
@@ -242,7 +245,7 @@ struct Host {
                 std::memcpy(sink + sink_pos, scratch, block_floats * 4);
                 sink_pos += block_floats;
             }
-            stats.blocks++;
+            stats.blocks.fetch_add(1, std::memory_order_relaxed);
         }
         delete[] scratch;
     }
@@ -422,7 +425,8 @@ void* ht_host_create(void* in_ring, void* out_ring,
 
 int32_t ht_host_done(void* p) {
     Host* h = static_cast<Host*>(p);
-    return h->stats.blocks >= h->total_blocks ? 1 : 0;
+    return h->stats.blocks.load(std::memory_order_relaxed)
+               >= h->total_blocks ? 1 : 0;
 }
 
 // Joins the thread (signalling stop first) and fills the stats.
@@ -431,7 +435,7 @@ void ht_host_join(void* p, int64_t* blocks, int64_t* underruns,
     Host* h = static_cast<Host*>(p);
     h->stop.store(true);
     if (h->thread.joinable()) h->thread.join();
-    *blocks = h->stats.blocks;
+    *blocks = h->stats.blocks.load(std::memory_order_relaxed);
     *underruns = h->stats.underruns;
     *overruns = h->stats.overruns;
     *late_ns_max = h->stats.late_ns_max;

@@ -167,3 +167,11 @@ def test_eligibility():
         fft_sharded(mesh, jnp.zeros(32), jnp.zeros(32))
     with pytest.raises(ValueError):
         fft_sharded(mesh, jnp.zeros((2, 4096)), jnp.zeros((2, 4096)))
+
+
+def test_convolve_sharded_non_pow2_mesh_raises():
+    """A non-power-of-two block axis can never satisfy real_sharded_eligible;
+    convolve_sharded must raise instead of searching FFT sizes forever."""
+    mesh = mesh_mod.make_mesh(devices=jax.devices()[:3], channel=1, block=3)
+    with pytest.raises(ValueError, match="power-of-two"):
+        convolve_sharded(mesh, jnp.zeros(1000), jnp.zeros(100))

@@ -114,3 +114,22 @@ def test_convolve_wav_stream_matches_offline(tmp_path, rng):
     assert a.shape == b.shape == (2, 20000 + 1200 - 1)
     snr = 10 * np.log10((b ** 2).sum() / max(((a - b) ** 2).sum(), 1e-300))
     assert snr > 90, snr
+
+
+@pytest.mark.parametrize("native", _PATHS)
+def test_block_reader_truncated_file(tmp_path, native, rng):
+    """A file cut mid-frame (header still claims the full length) must yield
+    the whole frames that exist — never raise from a partial-frame decode."""
+    x = 0.4 * rng.standard_normal((2, 5000))
+    path = _write(tmp_path, "t.wav", x, FileType.WAVE, PCMFormat.Int16)
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(size - 4003)  # not a multiple of the 4-byte frame
+    with AudioBlockReader(path, 1024, native=native, dtype=np.float64) as r:
+        blocks = list(r)
+    y = np.concatenate(blocks, axis=0) if blocks else np.zeros((0, 2))
+    assert 0 < y.shape[0] < 5000
+    assert y.shape[1] == 2
+    with IAudioFile(path) as f:
+        full = f.read_interleaved()
+    np.testing.assert_array_equal(y, full[:y.shape[0]])

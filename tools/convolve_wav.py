@@ -155,6 +155,8 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from hisstools_library_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     if args.stream:
         if args.wet != 1.0 or args.normalize:

@@ -37,6 +37,8 @@ def child(proc_id: int, num_procs: int, local_devices: int) -> int:
                                num_processes=num_procs,
                                process_id=proc_id)
     import jax.numpy as jnp
+    from hisstools_library_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from hisstools_library_tpu.models import mono

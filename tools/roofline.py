@@ -68,13 +68,10 @@ def main(argv=None):
 
         return (total(2 * args.iters) - total(args.iters)) / args.iters
 
-    def _split_real(n):
-        log2n = n.bit_length() - 1
-        n1 = 1 << ((log2n + 1) // 2)
-        return n1, n // n1
-
-    def _pad8(v):
-        return -(-v // 8) * 8
+    # The kernel's own factorisation helpers — a local copy could silently
+    # diverge and misreport MXU efficiency.
+    _split_real = pallas_fft._split_real
+    _pad8 = pallas_fft._pad8
 
     rows_out = []
 

@@ -108,6 +108,8 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from hisstools_library_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     from hisstools_library_tpu.models.mono import PartitionScheme, LatencyMode
     from hisstools_library_tpu.utils.serving import StreamingServer
