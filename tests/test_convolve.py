@@ -357,3 +357,24 @@ def test_fastfir_mega_kernel_matches_staged_chain(rng):
         ref = np.convolve(x[c].astype(np.float64),
                           ir[c].astype(np.float64))[:40000]
         assert snr_db(ref, np.asarray(y_mega)[c]) > 100
+
+
+def test_lazy_tail_attach_matches_eager(rng):
+    """MonoConvolve.set() defers the offline tail; the first process_offline
+    must attach ONLY the tail (same result as eager prepare_ir, bitwise) and
+    release the host IR copy it was holding."""
+    ir = rng.standard_normal((2, 20000)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32768)), jnp.float32)
+
+    conv = mono.MonoConvolve(latency=LatencyMode.Zero)
+    conv.set(ir)
+    assert conv.ir.tail is None and conv._ir_host is not None
+    y_lazy = conv.process_offline(x)
+    assert conv.ir.tail is not None
+    assert conv._ir_host is None  # host copy released after the tail build
+
+    scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+    eager = mono.prepare_ir(scheme, ir, conv.max_length, jnp.float32, None,
+                            offline_tail=True)
+    y_eager = mono.process_offline(eager, x)
+    assert float(jnp.abs(y_lazy - y_eager).max()) == 0.0
