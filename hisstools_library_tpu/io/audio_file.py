@@ -185,10 +185,16 @@ def _decode_pcm(raw: bytes, fmt: PCMFormat, endianness: Endianness,
     return (v * (2.0 ** -31)).astype(dtype)
 
 
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """C round() semantics (half away from zero) — np.round is half-to-even,
+    which encodes exact half-LSB samples 1 LSB below the reference."""
+    return np.copysign(np.floor(np.abs(v) + 0.5), v)
+
+
 def _encode_pcm(x: np.ndarray, fmt: PCMFormat, endianness: Endianness,
                 wave_uint8: bool = False) -> bytes:
-    """Normalised float array -> bytes (reference inputToU32: scale by 2^(bits-1),
-    round, clip)."""
+    """Normalised float array -> bytes (reference inputToU32/inputToU8,
+    OAudioFile.cpp:562-583: scale by 2^(bits-1), C round(), clip)."""
     if USE_NATIVE_CODEC:
         from . import native_codec
         out = native_codec.encode_pcm(np.asarray(x, np.float64), fmt.value,
@@ -196,10 +202,9 @@ def _encode_pcm(x: np.ndarray, fmt: PCMFormat, endianness: Endianness,
         if out is not None:
             return out
     if wave_uint8 and fmt == PCMFormat.Int8:
-        bits = 8
-        lo, hi = -128, 127
-        v = np.clip(np.round(np.asarray(x, np.float64) * 128), lo, hi)
-        return (v.astype(np.int16) + 128).astype(np.uint8).tobytes()
+        # Reference inputToU8: round AFTER the +128 offset, then clip [0,255].
+        v = _round_half_away(np.asarray(x, np.float64) * 128.0 + 128.0)
+        return np.clip(v, 0, 255).astype(np.uint8).tobytes()
     bo = "<" if endianness == Endianness.Little else ">"
     if fmt == PCMFormat.Float32:
         return np.asarray(x, bo + "f4").tobytes()
@@ -208,7 +213,8 @@ def _encode_pcm(x: np.ndarray, fmt: PCMFormat, endianness: Endianness,
     bits = find_bit_depth(fmt)
     lo = -(1 << (bits - 1))
     hi = (1 << (bits - 1)) - 1
-    v = np.clip(np.round(np.asarray(x, np.float64) * (1 << (bits - 1))), lo, hi)
+    v = np.clip(_round_half_away(np.asarray(x, np.float64) * (1 << (bits - 1))),
+                lo, hi)
     v = v.astype(np.int64)
     if fmt == PCMFormat.Int8:
         return v.astype(np.int8).tobytes()
@@ -382,11 +388,13 @@ class IAudioFile(BaseAudioFile):
                 ssnd_offset = struct.unpack(">I", f.read(4))[0]
                 f.read(4)  # block size
                 self.pcm_offset = offset + 8 + ssnd_offset
-        if not fmt_valid or not self.pcm_offset or self.channels < 1 \
-                or not self.sampling_rate > 0:
+        if not fmt_valid or self.channels < 1 or not self.sampling_rate > 0 \
+                or (not self.pcm_offset and self.frames > 0):
             # A parseable header with zero channels / nonpositive rate is
             # still a malformed file; without this flag a later
-            # read_interleaved would divide by the zero frame size.
+            # read_interleaved would divide by the zero frame size. A missing
+            # SSND chunk is legal only for zero-frame files (AIFF spec: SSND
+            # is required when numSampleFrames > 0).
             self._set_error(Error.FILE_BAD_FORMAT)
 
     @staticmethod
@@ -590,12 +598,23 @@ class OAudioFile(BaseAudioFile):
         self._comm_offset = 12 + 12 + 8  # FORM hdr + FVER chunk + COMM hdr
 
     def _update_header(self):
-        """Update size/frame-count fields after writes (reference updateHeader)."""
+        """Update size/frame-count fields after writes (reference updateHeader,
+        OAudioFile.cpp:483-521: only when the frame count grew — rewriting
+        unchanged fields on every small streamed write is pure seek traffic)."""
         if not self._file:
+            return
+        if getattr(self, "_header_frames", -1) == self.frames:
             return
         f = self._file
         data_bytes = self.frames * self.frame_byte_count
         pad = data_bytes & 1
+        if pad:
+            # The chunk sizes below account for the IFF pad byte on odd-sized
+            # data — it must actually exist in the file (reference
+            # putPadByte, OAudioFile.cpp:494) or the declared size overruns
+            # EOF by one byte for strict parsers.
+            f.seek(self.pcm_offset + data_bytes)
+            f.write(b"\x00")
         if self.file_type == FileType.WAVE:
             bo = "<" if self.header_endianness == Endianness.Little else ">"
             f.seek(4)
@@ -609,6 +628,7 @@ class OAudioFile(BaseAudioFile):
             f.write(struct.pack(">I", self.frames))
             f.seek(self.pcm_offset - 12)
             f.write(struct.pack(">I", 8 + data_bytes))
+        self._header_frames = self.frames
         f.seek(self.pcm_offset + self._position * self.frame_byte_count)
 
     # -- audio writes ----------------------------------------------------------------

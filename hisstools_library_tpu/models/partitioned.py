@@ -49,6 +49,10 @@ MAX_FFT_SIZE_LOG2 = 20
 
 
 def validate_fft_size(fft_size: int) -> int:
+    if fft_size < 1:
+        # Guard before the shift: fft_size=0 gives log2n=-1 and `1 << -1`
+        # raises a raw ValueError instead of the ConvolveError code.
+        raise ConvolveException(ConvolveError.FFT_SIZE_OUT_OF_RANGE, str(fft_size))
     log2n = fft_size.bit_length() - 1
     if (1 << log2n) != fft_size:
         raise ConvolveException(ConvolveError.FFT_SIZE_NON_POWER_OF_TWO, str(fft_size))
@@ -204,6 +208,12 @@ class PartitionedConvolve:
             if want > self.max_length:
                 err = ConvolveError.MEM_ALLOC_TOO_SMALL
         length = self.length if self.length else (self.max_length or 0)
+        if self.max_length and length:
+            # Convolve only what fits, like the reference (it clamps to
+            # mMaxImpulseLength alongside the error, PartitionedConvolve.cpp
+            # :195-199) — otherwise the error path builds MORE partitions
+            # than the declared capacity implies.
+            length = min(length, self.max_length)
         self.spectra = impulse_spectra(ir, self.fft_size, self.offset, length,
                                        dtype, backend)
         return err
@@ -295,12 +305,18 @@ class PartitionedConvolve:
         win = jnp.concatenate([jnp.zeros_like(state.prev), state.prev], axis=-1)
         out_buf = PartitionedConvolve._emit(spectra, state.ring, state.pos,
                                             backend)
-        p = state.ring.shape[-2]
-        order = (state.pos + jnp.arange(p, dtype=jnp.int32)) % p
-        ring = Split(jnp.take(state.ring.re, order, axis=-2),
-                     jnp.take(state.ring.im, order, axis=-2))
+        ring = PartitionedConvolve._slot_normalise(state.ring, state.pos)
         return StreamState(win, out_buf, jnp.zeros((), jnp.int32),
                            ring, jnp.zeros((), jnp.int32))
+
+    @staticmethod
+    def _slot_normalise(ring: Split, pos: jax.Array) -> Split:
+        """Reorder ring slots oldest-first (the pos == 0 layout): slot
+        (pos + k) mod P holds the spectrum of age P - k (see step())."""
+        p = ring.shape[-2]
+        order = (pos + jnp.arange(p, dtype=jnp.int32)) % p
+        return Split(jnp.take(ring.re, order, axis=-2),
+                     jnp.take(ring.im, order, axis=-2))
 
     @staticmethod
     def stream_to_aligned(state: StreamState) -> PartitionedState:
@@ -370,19 +386,12 @@ class PartitionedConvolve:
         """One hop: emit from the current ring (spectra X_{t-1}..X_{t-P}), then
         insert X_t. ``block`` is exactly H samples."""
         h = block.shape[-1]
-        n = 2 * h
         p = spectra.shape[-2]
 
-        # MAC across partitions: A = sum_p ring[slot(t-1-p)] * Hhat[p]. The ring
-        # write position is pos = t mod P, so before insertion slot s holds
-        # X_{t-1-((pos-1-s) mod P)}; gather Hhat accordingly and contract.
-        lags = (state.pos - 1 - jnp.arange(p, dtype=jnp.int32)) % p  # slot -> p index
-        h_re = jnp.take(spectra.re, lags, axis=-2)
-        h_im = jnp.take(spectra.im, lags, axis=-2)
-        prod = packed_mul(state.ring, Split(h_re, h_im))
-        acc = Split(jnp.sum(prod.re, axis=-2), jnp.sum(prod.im, axis=-2))
-        y = fft_api.rifft(acc.re, acc.im, backend=backend) * (1.0 / (4.0 * n))
-        out = y[..., h:]
+        # MAC across partitions + riFFT + 1/(4N) + overlap-save half: _emit
+        # owns the slot mapping (before insertion, slot s holds
+        # X_{t-1-((pos-1-s) mod P)} because the write position is pos = t mod P).
+        out = PartitionedConvolve._emit(spectra, state.ring, state.pos, backend)
 
         # Insert X_t at slot pos = t mod P.
         xre, xim = fft_api.rfft(jnp.concatenate([state.prev, block], axis=-1),
@@ -444,9 +453,8 @@ class PartitionedConvolve:
         from ..fft import pallas_kernels as pk
 
         def _normalise(planes):
-            order = (state.pos + jnp.arange(p, dtype=jnp.int32)) % p
-            return (jnp.take(planes[0], order, axis=-2),
-                    jnp.take(planes[1], order, axis=-2))
+            s = PartitionedConvolve._slot_normalise(Split(*planes), state.pos)
+            return (s.re, s.im)
 
         hist0_re, hist0_im = jax.lax.cond(
             state.pos == 0, lambda planes: planes, _normalise,

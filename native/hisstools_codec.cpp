@@ -40,7 +40,10 @@ inline double clip_round(double x, int bits) {
     const double scale = static_cast<double>(1LL << (bits - 1));
     const double lo = -scale;
     const double hi = scale - 1.0;
-    double v = std::nearbyint(x * scale);
+    // std::round = half away from zero, matching the reference's C round()
+    // (OAudioFile.cpp:562-571); nearbyint would tie-to-even and encode exact
+    // half-LSB samples 1 LSB low.
+    double v = std::round(x * scale);
     return std::min(std::max(v, lo), hi);
 }
 
@@ -127,9 +130,13 @@ int ht_encode_pcm(const double* in, int64_t n, int32_t fmt,
     switch (fmt) {
         case kInt8: {
             if (wave_uint8) {
-                for (int64_t i = 0; i < n; i++)
+                // Reference inputToU8 (OAudioFile.cpp:575-583): round AFTER
+                // the +128 offset, then clip [0, 255].
+                for (int64_t i = 0; i < n; i++) {
+                    double v = std::round(in[i] * 128.0 + 128.0);
                     out[i] = static_cast<uint8_t>(
-                        static_cast<int32_t>(clip_round<int8_t>(in[i], 8)) + 128);
+                        std::min(std::max(v, 0.0), 255.0));
+                }
             } else {
                 int8_t* p = reinterpret_cast<int8_t*>(out);
                 for (int64_t i = 0; i < n; i++)

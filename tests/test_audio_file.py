@@ -145,3 +145,60 @@ def test_aifc_mono_float64(tmp_path, rng):
         assert inp.file_type == FileType.AIFC
         y = inp.read_interleaved()
     assert np.array_equal(y, x)
+
+
+def test_odd_data_chunk_pad_byte(tmp_path):
+    """Odd-sized PCM data must be followed by the IFF pad byte the declared
+    RIFF/FORM sizes account for (reference putPadByte, OAudioFile.cpp:494)."""
+    import os
+    import struct
+    path = str(tmp_path / "odd.wav")
+    with OAudioFile(path, FileType.WAVE, PCMFormat.Int8, 1, 44100.0) as f:
+        f.write_interleaved(np.zeros((3, 1)))
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        riff_size = struct.unpack("<I", fh.read(8)[4:])[0]
+    assert size == riff_size + 8  # declared size matches the actual file
+    with IAudioFile(path) as f:
+        assert f.frames == 3 and not f.get_is_error()
+
+
+def test_zero_frame_aiff_without_ssnd(tmp_path):
+    """An AIFF with numSampleFrames == 0 and no SSND chunk is legal (SSND is
+    required only when frames > 0) — must read cleanly as 0 frames."""
+    import struct
+    comm = struct.pack(">HIH", 1, 0, 16) + double_to_extended(44100.0)
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    path = str(tmp_path / "empty.aif")
+    with open(path, "wb") as fh:
+        fh.write(b"FORM" + struct.pack(">I", len(body)) + body)
+    with IAudioFile(path) as f:
+        assert not f.get_is_error(), f.get_errors()
+        assert f.frames == 0 and f.channels == 1
+        assert f.read_interleaved().shape[0] == 0
+
+
+@pytest.mark.parametrize("fmt,ftype", [
+    (PCMFormat.Int8, FileType.WAVE),    # uint8 offset-then-round path
+    (PCMFormat.Int16, FileType.WAVE),
+    (PCMFormat.Int16, FileType.AIFF),
+])
+def test_half_lsb_rounds_away_from_zero(tmp_path, fmt, ftype):
+    """Exact half-LSB samples encode with C round() semantics (half away from
+    zero, reference inputToU32/inputToU8) — np.round/nearbyint tie-to-even
+    would store them 1 LSB low."""
+    bits = {PCMFormat.Int8: 8, PCMFormat.Int16: 16}[fmt]
+    scale = 1 << (bits - 1)
+    x = np.array([[0.5 / scale], [1.5 / scale], [-0.5 / scale]])
+    name = "half.wav" if ftype == FileType.WAVE else "half.aif"
+    path = str(tmp_path / name)
+    with OAudioFile(path, ftype, fmt, 1, 48000.0) as f:
+        f.write_interleaved(x)
+    with IAudioFile(path) as f:
+        y = f.read_interleaved()
+    got = np.round(y[:, 0] * scale).astype(int)
+    # round-half-away: +0.5 -> 1, +1.5 -> 2, -0.5 -> -1... except the WAVE
+    # uint8 path offsets BEFORE rounding (reference inputToU8), where
+    # -0.5 + 128 = 127.5 rounds away from zero to 128, i.e. 0 after decode.
+    expect_neg = 0 if fmt == PCMFormat.Int8 and ftype == FileType.WAVE else -1
+    assert got.tolist() == [1, 2, expect_neg], got

@@ -378,3 +378,30 @@ def test_lazy_tail_attach_matches_eager(rng):
                             offline_tail=True)
     y_eager = mono.process_offline(eager, x)
     assert float(jnp.abs(y_lazy - y_eager).max()) == 0.0
+
+
+def test_partitioned_set_clamps_to_max_length(rng):
+    """An IR longer than max_length flags MEM_ALLOC_TOO_SMALL AND convolves
+    only the first max_length taps (reference PartitionedConvolve.cpp:195-199
+    clamps alongside the error)."""
+    from hisstools_library_tpu.core.errors import ConvolveError
+    eng = partitioned.PartitionedConvolve(256, max_length=300, length=1000)
+    ir = rng.standard_normal(1000).astype(np.float32)
+    err = eng.set(ir)
+    assert err == ConvolveError.MEM_ALLOC_TOO_SMALL
+    ref = partitioned.PartitionedConvolve(256, max_length=300)
+    assert ref.set(ir[:300]) == ConvolveError.NONE
+    assert eng.num_partitions == ref.num_partitions
+    x = jnp.asarray(rng.standard_normal((1, 1024)), jnp.float32)
+    s1, y1 = partitioned.PartitionedConvolve.process(
+        eng.spectra, eng.init_state((1,)), x)
+    s2, y2 = partitioned.PartitionedConvolve.process(
+        ref.spectra, ref.init_state((1,)), x)
+    assert float(jnp.abs(y1 - y2).max()) == 0.0
+
+
+def test_validate_fft_size_zero_raises_convolve_error():
+    from hisstools_library_tpu.core.errors import ConvolveException
+    for bad in (0, -4):
+        with pytest.raises(ConvolveException):
+            partitioned.validate_fft_size(bad)
