@@ -78,8 +78,10 @@ def cmul(a: Split, b: Split) -> Split:
 
 
 def cmul_conj(a: Split, b: Split) -> Split:
-    """conj(a) * b — the correlation kernel (reference SpectralFunctions.hpp:265-272)."""
-    return Split(a.re * b.re + a.im * b.im, a.re * b.im - a.im * b.re)
+    """a * conj(b) — the correlation kernel (reference SpectralFunctions.hpp:265-272:
+    the correlate functor stores ``re = ac + bd, im = bc - ad`` for z1=(a,b),
+    z2=(c,d), i.e. z1 * conj(z2))."""
+    return Split(a.re * b.re + a.im * b.im, a.im * b.re - a.re * b.im)
 
 
 def packed_mul(a: Split, b: Split, scale=1.0) -> Split:
@@ -101,7 +103,7 @@ def packed_mul(a: Split, b: Split, scale=1.0) -> Split:
 
 
 def packed_mul_conj(a: Split, b: Split, scale=1.0) -> Split:
-    """Correlation (conj(a)*b) on packed real spectra with DC/Nyquist special cases.
+    """Correlation (a*conj(b)) on packed real spectra with DC/Nyquist special cases.
 
     Reference: ``ir_correlate_real`` (SpectralFunctions.hpp:433-436) — DC/Nyquist are
     processed through the same functor with zero imaginary parts, which for the

@@ -37,6 +37,14 @@ import numpy as np
 # Sizes at or below this use a single dense DFT matmul; above, four-step recursion.
 _DIRECT_MAX = 1024
 
+# Host-precomputed f64-sourced twiddle tables are baked into the jitted program
+# as constants. Beyond this many elements per plane (16 MB at f32) they are
+# generated in-graph from integer iotas instead: the axon remote compiler
+# rejects program bodies >~100 MB, so e.g. an m = 2^23 core's dense tables
+# (~300 MB) would abort compilation (see CLAUDE.md). The in-graph angles use
+# exact int32 products, costing only ~1-2 extra f32 ulps at the largest sizes.
+_TABLE_CONST_MAX_ELEMS = 1 << 22
+
 _PRECISION = jax.lax.Precision.HIGHEST
 
 # f32 dot mode: "highest" (6-pass, ~135 dB) or "bf16x3" (3-pass stacked hi/lo
@@ -61,14 +69,14 @@ def _bsplit_xla(x):
     return xr.astype(jnp.bfloat16), (x - xr).astype(jnp.bfloat16)
 
 
-def _stack_lhs(x):
+def _stack_lhs(x, axis=-1):
     xh, xl = _bsplit_xla(x)
-    return jnp.concatenate([xh, xh, xl], axis=-1)
+    return jnp.concatenate([xh, xh, xl], axis=axis)
 
 
-def _stack_rhs(x):
+def _stack_rhs(x, axis=-2):
     xh, xl = _bsplit_xla(x)
-    return jnp.concatenate([xh, xl, xh], axis=-2)
+    return jnp.concatenate([xh, xl, xh], axis=axis)
 
 
 @lru_cache(maxsize=64)
@@ -90,6 +98,25 @@ def _twiddle(n1: int, n2: int, dtype_name: str, inverse: bool) -> Tuple[np.ndarr
     ang = 2.0 * np.pi * k1 * m2 / float(n1 * n2)
     sign = 1.0 if inverse else -1.0
     return np.cos(ang).astype(dtype_name), (sign * np.sin(ang)).astype(dtype_name)
+
+
+def _twiddle_graph(n1: int, n2: int, dtype, inverse: bool):
+    """Four-step twiddle computed in-graph (no baked constant): the index
+    product k1*n2' < n1*n2 <= 2^28 is exact in int32, so the only rounding is
+    the int->float conversion and the sin/cos themselves."""
+    k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+    m2 = jnp.arange(n2, dtype=jnp.int32)[None, :]
+    idx = (k1 * m2).astype(dtype)
+    ang = idx * jnp.asarray(2.0 * np.pi / float(n1 * n2), dtype)
+    sign = 1.0 if inverse else -1.0
+    return jnp.cos(ang), sign * jnp.sin(ang)
+
+
+def _twiddle_factors(n1: int, n2: int, dtype, inverse: bool):
+    if n1 * n2 <= _TABLE_CONST_MAX_ELEMS:
+        twr, twi = _twiddle(n1, n2, jnp.dtype(dtype).name, inverse)
+        return jnp.asarray(twr), jnp.asarray(twi)
+    return _twiddle_graph(n1, n2, dtype, inverse)
 
 
 def _split_factors(n: int) -> Tuple[int, int]:
@@ -141,23 +168,30 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False) -> Tuple[jax.
     ai = im.reshape(*lead, n1, n2)
 
     # Step 1: DFT over n1 (the second-to-last axis) -> move it last for the matmul.
-    f1r, f1i = _dft_matrix(n1, dt, inverse)
+    # Factors beyond the dense-matrix cap recurse (a 2^14 dense DFT matrix would
+    # be a multi-GB baked constant); recursion bounds every dense factor at
+    # _DIRECT_MAX so constants stay small at ANY supported size.
     ar_t = jnp.swapaxes(ar, -1, -2)  # (..., n2, n1)
     ai_t = jnp.swapaxes(ai, -1, -2)
-    br, bi = _cmatmul(ar_t, ai_t, jnp.asarray(f1r), jnp.asarray(f1i))  # (..., n2, k1)
+    if n1 > _DIRECT_MAX:
+        br, bi = fft_split(ar_t, ai_t, inverse)  # (..., n2, k1)
+    else:
+        f1r, f1i = _dft_matrix(n1, dt, inverse)
+        br, bi = _cmatmul(ar_t, ai_t, jnp.asarray(f1r), jnp.asarray(f1i))
     br = jnp.swapaxes(br, -1, -2)  # (..., k1, n2)
     bi = jnp.swapaxes(bi, -1, -2)
 
     # Step 2: twiddle.
-    twr, twi = _twiddle(n1, n2, dt, inverse)
-    twr = jnp.asarray(twr)
-    twi = jnp.asarray(twi)
+    twr, twi = _twiddle_factors(n1, n2, re.dtype, inverse)
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
 
     # Step 3: DFT over n2 (last axis).
-    f2r, f2i = _dft_matrix(n2, dt, inverse)
-    dr, di = _cmatmul(cr, ci, jnp.asarray(f2r), jnp.asarray(f2i))  # (..., k1, k2)
+    if n2 > _DIRECT_MAX:
+        dr, di = fft_split(cr, ci, inverse)  # (..., k1, k2)
+    else:
+        f2r, f2i = _dft_matrix(n2, dt, inverse)
+        dr, di = _cmatmul(cr, ci, jnp.asarray(f2r), jnp.asarray(f2i))
 
     # Step 4: X[k1 + n1*k2] -> lay out as [k2, k1] then flatten.
     xr = jnp.swapaxes(dr, -1, -2).reshape(*lead, n)
@@ -171,6 +205,17 @@ def _half_twiddle(m: int, dtype_name: str) -> Tuple[np.ndarray, np.ndarray]:
     k = np.arange(m, dtype=np.float64)
     ang = np.pi * k / float(m)  # 2 pi k / (2 m)
     return np.cos(ang).astype(dtype_name), (-np.sin(ang)).astype(dtype_name)
+
+
+def _half_twiddle_factors(m: int, dtype):
+    """Half twiddles as device arrays; in-graph beyond the baked-constant cap
+    (same remote-compiler body-size rationale as _twiddle_factors)."""
+    if m <= _TABLE_CONST_MAX_ELEMS:
+        twr, twi = _half_twiddle(m, jnp.dtype(dtype).name)
+        return jnp.asarray(twr), jnp.asarray(twi)
+    k = jnp.arange(m, dtype=jnp.int32).astype(dtype)
+    ang = k * jnp.asarray(np.pi / float(m), dtype)
+    return jnp.cos(ang), -jnp.sin(ang)
 
 
 def rfft_packed(x: jax.Array, core=None) -> Tuple[jax.Array, jax.Array]:
@@ -197,9 +242,7 @@ def rfft_packed(x: jax.Array, core=None) -> Tuple[jax.Array, jax.Array]:
     zo_r = 0.5 * (Zi - Zi_rev)
     zo_i = -0.5 * (Zr - Zr_rev)
 
-    twr, twi = _half_twiddle(m, x.dtype.name)
-    twr = jnp.asarray(twr)
-    twi = jnp.asarray(twi)
+    twr, twi = _half_twiddle_factors(m, x.dtype)
     # X[k] = Ze[k] + W^k * Zo[k], packed with x2 scale: P = 2X
     xr = ze_r + (zo_r * twr - zo_i * twi)
     xi = ze_i + (zo_r * twi + zo_i * twr)
@@ -236,9 +279,7 @@ def rifft_packed(re: jax.Array, im: jax.Array, core=None) -> jax.Array:
     do_r = 0.5 * (xr0 - xr_rev)
     do_i = 0.5 * (xi0 - xi_rev)
 
-    twr, twi = _half_twiddle(m, re.dtype.name)
-    twr = jnp.asarray(twr)
-    twi = jnp.asarray(twi)
+    twr, twi = _half_twiddle_factors(m, re.dtype)
     # Zo = conj(W^k) * (X - conj(Xrev))/2 ; conj(W) = (twr, -twi)
     zo_r = do_r * twr + do_i * twi
     zo_i = -do_r * twi + do_i * twr

@@ -241,6 +241,113 @@ def _inv_tables(n1: int, n2: int):
 # Kernels (tables arrive in HBM; scratch holds the VMEM-resident copies)
 # -----------------------------------------------------------------------------
 
+# -----------------------------------------------------------------------------
+# Shared in-kernel stages. Every forward/inverse/fused kernel builds its body
+# from these four blocks so the packed-lane handling, Karatsuba products, and
+# table-stacking discipline live in ONE place (they used to be hand-synced
+# copies across _rfft_stream/_rifft_tail/_fastfir/_fastfir_stream).
+# -----------------------------------------------------------------------------
+
+def _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+               tail_from: int = 0):
+    """Inverse-table operands, mode-stacked once per kernel invocation.
+    ``tail_from``: first stage-C row to keep (n1/2 for tail-only kernels —
+    the discarded half-block's rows are never computed)."""
+    return (dot.rhs(qr_s[...], 0), dot.rhs(qi_s[...], 0), dot.rhs(qs_s[...], 0),
+            ctr_s[...], cti_s[...],
+            dot.lhs(p1r_s[...][tail_from:, :], 1),
+            dot.lhs(p1i_s[...][tail_from:, :], 1))
+
+
+def _tail_block(dot, pr, pi, qr, qi, qs, ctr, cti, p1r, p1i, scale: float = 1.0):
+    """Packed spectrum (n2h, n1) -> real block rows of the riFFT (all rows or
+    the kept tail, per the p1 slice). Step A is a Karatsuba 3-matmul complex
+    product (qs = qr + qi); the x2 packed scale is used as-is:
+    y = 2 Re(S) - X[0] + (-1)^n Nyq, giving rifft(rfft(x)) == 2N x."""
+    x0 = pr[0, 0]
+    nyq = pi[0, 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
+    pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
+    m1 = dot(dot.lhs(pr, 0), qr, _T0)
+    m2 = dot(dot.lhs(pi0, 0), qi, _T0)
+    m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
+    hr = m1 - m2                                             # (n1, n2)
+    hi = m3 - m1 - m2
+    h2r = hr * ctr - hi * cti
+    h2i = hr * cti + hi * ctr
+    sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
+    par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+    parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
+    out = 2.0 * sr - x0 + nyq * parity
+    return out * scale if scale != 1.0 else out
+
+
+def _fwd_stage2_pack(dot, br, bi, twr, twi, f2r, f2i, f2s, n2h: int):
+    """Stage-1 output -> twiddle -> Karatsuba stage 2 (f2s = f2r + f2i) ->
+    packed (re, im-with-Nyquist-in-[0,0]) planes of shape (n2h, n1)."""
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    m1 = dot(f2r, dot.rhs(cr, 1), _T2)
+    m2 = dot(f2i, dot.rhs(ci, 1), _T2)
+    m3 = dot(f2s, dot.rhs(cr + ci, 1), _T2)
+    er = m1 - m2                                             # (rows_pad, n1)
+    ei = m3 - m1 - m2
+    nyq = er[n2h, 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
+    at00 = (rows == 0) & (cols == 0)
+    return er[:n2h, :], jnp.where(at00, nyq, ei[:n2h, :])
+
+
+def _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
+               twr, twi, f2r, f2i, f2s, n2h: int, pm=None):
+    """Forward rFFT of the overlap-save [prev | cur] frame (the reference's
+    staged frame, PartitionedConvolve.cpp:304-307, never materialised).
+    ``pm`` (0/1) masks the prev contribution on a first hop with no history."""
+    bp_r = dot(f1r_lo, prev, _MM)
+    bp_i = dot(f1i_lo, prev, _MM)
+    if pm is not None:
+        bp_r = pm * bp_r
+        bp_i = pm * bp_i
+    br = bp_r + dot(f1r_hi, cur, _MM)
+    bi = bp_i + dot(f1i_hi, cur, _MM)
+    return _fwd_stage2_pack(dot, br, bi, twr, twi, f2r, f2i, f2s, n2h)
+
+
+def _ring_mac(ti, p: int, ring_re, ring_im, hre_s, him_s, n2h: int):
+    """Causal partition MAC over the VMEM spectra ring. Slot of lag L's
+    spectrum: (ti - 1 - L) mod p; slots never written yet hold zeros, so
+    summing all p lags is causal automatically. The packed DC/Nyquist lane
+    [0, 0] multiplies real*real independently — accumulated in (1, n1) rows
+    (Mosaic cannot broadcast a (1,1) into both sublanes and lanes) and
+    selected into the full accumulation at the end."""
+    acc_re = jnp.zeros((n2h, ring_re.shape[-1]), jnp.float32)
+    acc_im = jnp.zeros_like(acc_re)
+    a0_re = jnp.zeros((1, ring_re.shape[-1]), jnp.float32)
+    a0_im = jnp.zeros_like(a0_re)
+    for lag in range(p):
+        slot = jax.lax.rem(ti - 1 - lag + p * 8192, jnp.int32(p))
+        rr = ring_re[pl.ds(slot, 1)][0]
+        ri = ring_im[pl.ds(slot, 1)][0]
+        hr = hre_s[lag]
+        hi = him_s[lag]
+        acc_re += rr * hr - ri * hi
+        acc_im += rr * hi + ri * hr
+        a0_re += rr[0:1, :] * hr[0:1, :]
+        a0_im += ri[0:1, :] * hi[0:1, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 1)
+    lane0 = (rows == 0) & (cols == 0)
+    return jnp.where(lane0, a0_re, acc_re), jnp.where(lane0, a0_im, acc_im)
+
+
+def _ring_insert(ring_re, ring_im, ti, p: int, er, ei):
+    wslot = jax.lax.rem(ti, jnp.int32(p))
+    ring_re[pl.ds(wslot, 1)] = er[None]
+    ring_im[pl.ds(wslot, 1)] = ei[None]
+
+
 def _rfft_kernel(x_ref, *refs, n2h: int, mode: str, group: int):
     hbm = refs[:7]
     pr_ref, pi_ref = refs[7:9]
@@ -259,20 +366,8 @@ def _rfft_kernel(x_ref, *refs, n2h: int, mode: str, group: int):
         a = dot.rhs(x_ref[g], 0)                   # (n1, n2) real
         br = dot(f1r, a, _MM)                      # stage 1: real input -> 2 matmuls
         bi = dot(f1i, a, _MM)
-        cr = br * twr - bi * twi
-        ci = br * twi + bi * twr
-        # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
-        m1 = dot(f2r, dot.rhs(cr, 1), _T2)
-        m2 = dot(f2i, dot.rhs(ci, 1), _T2)
-        m3 = dot(f2s, dot.rhs(cr + ci, 1), _T2)
-        er = m1 - m2                                             # (rows_pad, n1)
-        ei = m3 - m1 - m2
-        nyq = er[n2h, 0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
-        at00 = (rows == 0) & (cols == 0)
-        pr_ref[g] = er[:n2h, :]
-        pi_ref[g] = jnp.where(at00, nyq, ei[:n2h, :])
+        pr_ref[g], pi_ref[g] = _fwd_stage2_pack(dot, br, bi, twr, twi,
+                                                f2r, f2i, f2s, n2h)
 
 
 def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
@@ -281,35 +376,9 @@ def _rifft_kernel(pr_ref, pi_ref, *refs, mode: str, group: int):
     qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s, sems = refs[8:]
     _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s), sems)
     dot = _Dot(mode)
-    qr = dot.rhs(qr_s[...], 0)
-    qi = dot.rhs(qi_s[...], 0)
-    qs = dot.rhs(qs_s[...], 0)
-    ctr = ctr_s[...]
-    cti = cti_s[...]
-    p1r = dot.lhs(p1r_s[...], 1)
-    p1i = dot.lhs(p1i_s[...], 1)
+    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s)
     for g in range(group):
-        pr = pr_ref[g]                             # (n2h, n1) packed spectrum
-        pi = pi_ref[g]
-        x0 = pr[0, 0]
-        nyq = pi[0, 0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
-        pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
-        # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
-        m1 = dot(dot.lhs(pr, 0), qr, _T0)
-        m2 = dot(dot.lhs(pi0, 0), qi, _T0)
-        m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
-        hr = m1 - m2                                             # (n1, n2)
-        hi = m3 - m1 - m2
-        h2r = hr * ctr - hi * cti
-        h2i = hr * cti + hi * ctr
-        sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
-        par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
-        parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
-        # Packed values are used AS the spectrum (the x2 is not undone):
-        # y = 2 Re(S) - X[0] + (-1)^n Nyq, giving rifft(rfft(x)) == 2N x.
-        y_ref[g] = 2.0 * sr - x0 + nyq * parity
+        y_ref[g] = _tail_block(dot, pr_ref[g], pi_ref[g], *inv)
 
 
 def _cfft_kernel(ar_ref, ai_ref, *refs, mode: str, group: int):
@@ -317,21 +386,26 @@ def _cfft_kernel(ar_ref, ai_ref, *refs, mode: str, group: int):
     er_ref, ei_ref = refs[6:8]
     f1r_s, f1i_s, f2r_s, f2i_s, twr_s, twi_s, sems = refs[8:]
     _load_tables_once(hbm, (f1r_s, f1i_s, f2r_s, f2i_s, twr_s, twi_s), sems)
-    f1r = f1r_s[...]
-    f1i = f1i_s[...]
-    f2r = f2r_s[...]
-    f2i = f2i_s[...]
+    dot = _Dot(mode)
+    # Stack the bf16x3 hi/lo table splits ONCE per kernel invocation — raw
+    # operands would be re-split inside every dot of every unrolled group
+    # iteration (scoped-VMEM temps are NOT reused across unrolled iterations,
+    # so that also inflates the peak beyond what _pick_group models).
+    f1r = dot.lhs(f1r_s[...], 1)
+    f1i = dot.lhs(f1i_s[...], 1)
+    f2r = dot.lhs(f2r_s[...], 0)
+    f2i = dot.lhs(f2i_s[...], 0)
     twr = twr_s[...]
     twi = twi_s[...]
     for g in range(group):
-        ar = ar_ref[g]
-        ai = ai_ref[g]
-        br = _dg(f1r, ar, _MM, mode) - _dg(f1i, ai, _MM, mode)
-        bi = _dg(f1r, ai, _MM, mode) + _dg(f1i, ar, _MM, mode)
-        cr = br * twr - bi * twi
-        ci = br * twi + bi * twr
-        er_ref[g] = _dg(f2r, cr, _T2, mode) - _dg(f2i, ci, _T2, mode)
-        ei_ref[g] = _dg(f2r, ci, _T2, mode) + _dg(f2i, cr, _T2, mode)
+        ar = dot.rhs(ar_ref[g], 0)
+        ai = dot.rhs(ai_ref[g], 0)
+        br = dot(f1r, ar, _MM) - dot(f1i, ai, _MM)
+        bi = dot(f1r, ai, _MM) + dot(f1i, ar, _MM)
+        cr = dot.rhs(br * twr - bi * twi, 1)
+        ci = dot.rhs(br * twi + bi * twr, 1)
+        er_ref[g] = dot(f2r, cr, _T2) - dot(f2i, ci, _T2)
+        ei_ref[g] = dot(f2r, ci, _T2) + dot(f2i, cr, _T2)
 
 
 # -----------------------------------------------------------------------------
@@ -496,19 +570,17 @@ def _prep_operand(t, axis: int, side: str, mode: str) -> jax.Array:
     """Mode-ready dense operand: f32 passthrough, or the bf16x3 stacked layout
     ([h|h|l] for lhs, [h|l|h] for rhs) along the contraction axis.
 
-    The hi/lo split is computed with ``lax.reduce_precision``, NOT the
-    in-kernel ``x - bf16(x).astype(f32)`` form: outside Mosaic, XLA's
-    excess-precision simplification folds the upcast-after-downcast pair to
-    identity, making lo == 0 and silently degrading the whole pipeline to
-    single-pass bf16 (~55 dB — measured on hardware, round 2)."""
+    Delegates to matmul_fft's stacking helpers, whose hi/lo split goes through
+    ``lax.reduce_precision`` (matmul_fft._bsplit_xla), NOT the in-kernel
+    ``x - bf16(x).astype(f32)`` form: outside Mosaic, XLA's excess-precision
+    simplification folds the upcast-after-downcast pair to identity, making
+    lo == 0 and silently degrading the whole pipeline to single-pass bf16
+    (~55 dB — measured on hardware, round 2)."""
     t = jnp.asarray(t, jnp.float32)
     if mode != "bf16x3":
         return t
-    tr = jax.lax.reduce_precision(t, exponent_bits=8, mantissa_bits=7)
-    th = tr.astype(jnp.bfloat16)
-    tl = (t - tr).astype(jnp.bfloat16)
-    order = [th, th, tl] if side == "L" else [th, tl, th]
-    return jnp.concatenate(order, axis=axis)
+    stack = matmul_fft._stack_lhs if side == "L" else matmul_fft._stack_rhs
+    return stack(t, axis)
 
 
 def _tag(dot: "_Dot", side: str, x):
@@ -867,27 +939,13 @@ def _rfft_stream_kernel(prevblk_ref, cur_ref, *refs, n2h: int, mode: str,
         if g == 0:
             prev = dot.rhs(prevblk_ref[0, group - 1], 0)
             pm = jnp.where(first, 0.0, 1.0).astype(jnp.float32)
-            br = pm * dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
-            bi = pm * dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
         else:
             prev = prev_cached
-            br = dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
-            bi = dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
+            pm = None
+        pr_ref[0, g], pi_ref[0, g] = _fwd_frame(
+            dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
+            twr, twi, f2r, f2i, f2s, n2h, pm=pm)
         prev_cached = cur
-        cr = br * twr - bi * twi
-        ci = br * twi + bi * twr
-        # Stage 2 as a Karatsuba 3-matmul complex product (f2s = f2r + f2i).
-        m1 = dot(f2r, dot.rhs(cr, 1), _T2)
-        m2 = dot(f2i, dot.rhs(ci, 1), _T2)
-        m3 = dot(f2s, dot.rhs(cr + ci, 1), _T2)
-        er = m1 - m2
-        ei = m3 - m1 - m2
-        nyq = er[n2h, 0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
-        at00 = (rows == 0) & (cols == 0)
-        pr_ref[0, g] = er[:n2h, :]
-        pi_ref[0, g] = jnp.where(at00, nyq, ei[:n2h, :])
 
 
 def _pick_hop_group(t: int, hop: int, table_bytes: int) -> int:
@@ -964,34 +1022,11 @@ def _rifft_tail_kernel(pr_ref, pi_ref, *refs, scale: float, mode: str,
     _load_tables_once(hbm, (qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
                       sems, grid_rank=2)
     dot = _Dot(mode)
-    qr = dot.rhs(qr_s[...], 0)
-    qi = dot.rhs(qi_s[...], 0)
-    qs = dot.rhs(qs_s[...], 0)
-    ctr = ctr_s[...]
-    cti = cti_s[...]
-    n1h = y_ref.shape[-2]
-    p1r = dot.lhs(p1r_s[...][n1h:, :], 1)
-    p1i = dot.lhs(p1i_s[...][n1h:, :], 1)
+    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+                     tail_from=y_ref.shape[-2])
     for g in range(group):
-        pr = pr_ref[0, g]
-        pi = pi_ref[0, g]
-        x0 = pr[0, 0]
-        nyq = pi[0, 0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, pr.shape, 1)
-        pi0 = jnp.where((rows == 0) & (cols == 0), 0.0, pi)
-        # Step A as a Karatsuba 3-matmul complex product (qs = qr + qi).
-        m1 = dot(dot.lhs(pr, 0), qr, _T0)
-        m2 = dot(dot.lhs(pi0, 0), qi, _T0)
-        m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
-        hr = m1 - m2
-        hi = m3 - m1 - m2
-        h2r = hr * ctr - hi * cti
-        h2i = hr * cti + hi * ctr
-        sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
-        par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
-        parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
-        y_ref[0, g] = scale * (2.0 * sr - x0 + nyq * parity)
+        y_ref[0, g] = _tail_block(dot, pr_ref[0, g], pi_ref[0, g], *inv,
+                                  scale=scale)
 
 
 def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
@@ -1094,78 +1129,27 @@ def _fastfir_kernel(prevb_ref, curb_ref, hre_hbm, him_hbm, *refs,
     dot = _Dot(mode)
 
     # -- causal MAC from the ring (state BEFORE this hop's insert) -----------
-    # Slot of lag L's spectrum: (ti - 1 - L) mod p; slots with ti-1-L < 0 hold
-    # zeros (cleared above, and slots only ever hold spectra of hops >= their
-    # last write), so summing all p lags is causal automatically.
-    acc_re = jnp.zeros((n2h, ring_re.shape[-1]), jnp.float32)
-    acc_im = jnp.zeros_like(acc_re)
-    # Packed-lane accumulators kept as (1, n1) rows: only column 0 is used
-    # (selected below), but a full row keeps the broadcast sublane-only —
-    # Mosaic cannot broadcast a (1,1) into both sublanes and lanes.
-    a0_re = jnp.zeros((1, ring_re.shape[-1]), jnp.float32)
-    a0_im = jnp.zeros_like(a0_re)
-    for lag in range(p):
-        slot = jax.lax.rem(ti - 1 - lag + p * 8192, jnp.int32(p))
-        rr = ring_re[pl.ds(slot, 1)][0]
-        ri = ring_im[pl.ds(slot, 1)][0]
-        hr = hre_s[lag]
-        hi = him_s[lag]
-        acc_re += rr * hr - ri * hi
-        acc_im += rr * hi + ri * hr
-        a0_re += rr[0:1, :] * hr[0:1, :]
-        a0_im += ri[0:1, :] * hi[0:1, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 1)
-    lane0 = (rows == 0) & (cols == 0)
-    pr = jnp.where(lane0, a0_re, acc_re)
-    pi = jnp.where(lane0, a0_im, acc_im)
+    pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
 
     # -- tail riFFT of the accumulation (kept half-block only, scale folded) --
-    x0 = pr[0, 0]
-    nyq = pi[0, 0]
-    pi0 = jnp.where(lane0, 0.0, pi)
-    qr = dot.rhs(qr_s[...], 0)
-    qi = dot.rhs(qi_s[...], 0)
-    qs = dot.rhs(qs_s[...], 0)
-    m1 = dot(dot.lhs(pr, 0), qr, _T0)
-    m2 = dot(dot.lhs(pi0, 0), qi, _T0)
-    m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
-    hr2 = m1 - m2
-    hi2 = m3 - m1 - m2
-    h2r = hr2 * ctr_s[...] - hi2 * cti_s[...]
-    h2i = hr2 * cti_s[...] + hi2 * ctr_s[...]
-    n1h = y_ref.shape[-2]
-    p1r = dot.lhs(p1r_s[...][n1h:, :], 1)
-    p1i = dot.lhs(p1i_s[...][n1h:, :], 1)
-    sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
-    par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
-    parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
-    y_ref[0, 0] = scale * (2.0 * sr - x0 + nyq * parity)
+    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+                     tail_from=y_ref.shape[-2])
+    y_ref[0, 0] = _tail_block(dot, pr, pi, *inv, scale=scale)
 
     # -- forward rFFT of this hop's [prev | cur] frame -> ring slot ti % p ----
-    f1r_lo = dot.lhs(f1r_s[...][:, :prevb_ref.shape[-2]], 1)
-    f1r_hi = dot.lhs(f1r_s[...][:, prevb_ref.shape[-2]:], 1)
-    f1i_lo = dot.lhs(f1i_s[...][:, :prevb_ref.shape[-2]], 1)
-    f1i_hi = dot.lhs(f1i_s[...][:, prevb_ref.shape[-2]:], 1)
+    nh = prevb_ref.shape[-2]
+    f1r_lo = dot.lhs(f1r_s[...][:, :nh], 1)
+    f1r_hi = dot.lhs(f1r_s[...][:, nh:], 1)
+    f1i_lo = dot.lhs(f1i_s[...][:, :nh], 1)
+    f1i_hi = dot.lhs(f1i_s[...][:, nh:], 1)
     prev = dot.rhs(prevb_ref[0, 0], 0)
     cur = dot.rhs(curb_ref[0, 0], 0)
     pm = jnp.where(ti == 0, 0.0, 1.0).astype(jnp.float32)
-    br = pm * dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
-    bi = pm * dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
-    cr = br * twr_s[...] - bi * twi_s[...]
-    cc = br * twi_s[...] + bi * twr_s[...]
-    m1 = dot(f2r_s[...], dot.rhs(cr, 1), _T2)
-    m2 = dot(f2i_s[...], dot.rhs(cc, 1), _T2)
-    m3 = dot(f2s_s[...], dot.rhs(cr + cc, 1), _T2)
-    er = m1 - m2
-    ei = m3 - m1 - m2
-    nyq_f = er[n2h, 0]
-    rows_f = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
-    cols_f = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
-    at00 = (rows_f == 0) & (cols_f == 0)
-    wslot = jax.lax.rem(ti, jnp.int32(p))
-    ring_re[pl.ds(wslot, 1)] = er[:n2h, :][None]
-    ring_im[pl.ds(wslot, 1)] = jnp.where(at00, nyq_f, ei[:n2h, :])[None]
+    er, ei = _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
+                        twr_s[...], twi_s[...], dot.lhs(f2r_s[...], 0),
+                        dot.lhs(f2i_s[...], 0), dot.lhs(f2s_s[...], 0),
+                        n2h, pm=pm)
+    _ring_insert(ring_re, ring_im, ti, p, er, ei)
 
 
 def fastfir_feasible(n: int, p: int) -> bool:
@@ -1277,72 +1261,25 @@ def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
     # -- causal MAC: virtual rows X_j; j < 0 live in the preloaded ring at
     # slot j mod p (oldest-first state layout), j >= 0 at slot j mod p after
     # this grid dimension's earlier writes — one uniform slot rule.
-    acc_re = jnp.zeros((n2h, ring_re.shape[-1]), jnp.float32)
-    acc_im = jnp.zeros_like(acc_re)
-    a0_re = jnp.zeros((1, ring_re.shape[-1]), jnp.float32)
-    a0_im = jnp.zeros_like(a0_re)
-    for lag in range(p):
-        slot = jax.lax.rem(ti - 1 - lag + p * 8192, jnp.int32(p))
-        rr = ring_re[pl.ds(slot, 1)][0]
-        ri = ring_im[pl.ds(slot, 1)][0]
-        hr = hre_s[lag]
-        hi = him_s[lag]
-        acc_re += rr * hr - ri * hi
-        acc_im += rr * hi + ri * hr
-        a0_re += rr[0:1, :] * hr[0:1, :]
-        a0_im += ri[0:1, :] * hi[0:1, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, acc_re.shape, 1)
-    lane0 = (rows == 0) & (cols == 0)
-    pr = jnp.where(lane0, a0_re, acc_re)
-    pi = jnp.where(lane0, a0_im, acc_im)
+    pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
 
     # -- tail riFFT (identical to the offline kernel) ------------------------
-    x0 = pr[0, 0]
-    nyq = pi[0, 0]
-    pi0 = jnp.where(lane0, 0.0, pi)
-    qr = dot.rhs(qr_s[...], 0)
-    qi = dot.rhs(qi_s[...], 0)
-    qs = dot.rhs(qs_s[...], 0)
-    m1 = dot(dot.lhs(pr, 0), qr, _T0)
-    m2 = dot(dot.lhs(pi0, 0), qi, _T0)
-    m3 = dot(dot.lhs(pr + pi0, 0), qs, _T0)
-    hr2 = m1 - m2
-    hi2 = m3 - m1 - m2
-    h2r = hr2 * ctr_s[...] - hi2 * cti_s[...]
-    h2i = hr2 * cti_s[...] + hi2 * ctr_s[...]
-    n1h = y_ref.shape[-2]
-    p1r = dot.lhs(p1r_s[...][n1h:, :], 1)
-    p1i = dot.lhs(p1i_s[...][n1h:, :], 1)
-    sr = dot(p1r, dot.rhs(h2r, 0), _MM) - dot(p1i, dot.rhs(h2i, 0), _MM)
-    par_cols = jax.lax.broadcasted_iota(jnp.int32, sr.shape, 1)
-    parity = jnp.where((par_cols % 2) == 0, 1.0, -1.0).astype(sr.dtype)
-    y_ref[0, 0] = scale * (2.0 * sr - x0 + nyq * parity)
+    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+                     tail_from=y_ref.shape[-2])
+    y_ref[0, 0] = _tail_block(dot, pr, pi, *inv, scale=scale)
 
     # -- forward rFFT, first hop's overlap from the carried previous block ---
-    f1r_lo = dot.lhs(f1r_s[...][:, :prevb_ref.shape[-2]], 1)
-    f1r_hi = dot.lhs(f1r_s[...][:, prevb_ref.shape[-2]:], 1)
-    f1i_lo = dot.lhs(f1i_s[...][:, :prevb_ref.shape[-2]], 1)
-    f1i_hi = dot.lhs(f1i_s[...][:, prevb_ref.shape[-2]:], 1)
-    prev_time = jnp.where(ti == 0, pstate_ref[0, 0], prevb_ref[0, 0])
-    prev = dot.rhs(prev_time, 0)
+    nh = prevb_ref.shape[-2]
+    f1r_lo = dot.lhs(f1r_s[...][:, :nh], 1)
+    f1r_hi = dot.lhs(f1r_s[...][:, nh:], 1)
+    f1i_lo = dot.lhs(f1i_s[...][:, :nh], 1)
+    f1i_hi = dot.lhs(f1i_s[...][:, nh:], 1)
+    prev = dot.rhs(jnp.where(ti == 0, pstate_ref[0, 0], prevb_ref[0, 0]), 0)
     cur = dot.rhs(curb_ref[0, 0], 0)
-    br = dot(f1r_lo, prev, _MM) + dot(f1r_hi, cur, _MM)
-    bi = dot(f1i_lo, prev, _MM) + dot(f1i_hi, cur, _MM)
-    cr = br * twr_s[...] - bi * twi_s[...]
-    cc = br * twi_s[...] + bi * twr_s[...]
-    m1 = dot(f2r_s[...], dot.rhs(cr, 1), _T2)
-    m2 = dot(f2i_s[...], dot.rhs(cc, 1), _T2)
-    m3 = dot(f2s_s[...], dot.rhs(cr + cc, 1), _T2)
-    er = m1 - m2
-    ei = m3 - m1 - m2
-    nyq_f = er[n2h, 0]
-    rows_f = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 0)
-    cols_f = jax.lax.broadcasted_iota(jnp.int32, (n2h, er.shape[1]), 1)
-    at00 = (rows_f == 0) & (cols_f == 0)
-    wslot = jax.lax.rem(ti, jnp.int32(p))
-    ring_re[pl.ds(wslot, 1)] = er[:n2h, :][None]
-    ring_im[pl.ds(wslot, 1)] = jnp.where(at00, nyq_f, ei[:n2h, :])[None]
+    er, ei = _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
+                        twr_s[...], twi_s[...], dot.lhs(f2r_s[...], 0),
+                        dot.lhs(f2i_s[...], 0), dot.lhs(f2s_s[...], 0), n2h)
+    _ring_insert(ring_re, ring_im, ti, p, er, ei)
 
     # -- last hop: emit the new ring, slot-normalised to oldest-first --------
     @pl.when(ti == t - 1)

@@ -146,9 +146,12 @@ def process(config: TrackerConfig, state: TrackerState,
         j = k - i * tr
         do = jnp.isfinite(c)
 
-        # change statistics for a Continue assignment (add_change, :85-108)
-        fch = (pf[i] - tf[j]) if config.use_pitch else (peak_freq[i] - state.freq[j])
-        ach = (pa[i] - ta[j]) if config.use_db else (peak_amp[i] - state.amp[j])
+        # change statistics for a Continue assignment (add_change, :85-108).
+        # config.track_changes is static, so the disabled branch traces to the
+        # reference's change_tracker<T, false> no-op (PartialTracker.hpp:122-156).
+        if config.track_changes:
+            fch = (pf[i] - tf[j]) if config.use_pitch else (peak_freq[i] - state.freq[j])
+            ach = (pa[i] - ta[j]) if config.use_db else (peak_amp[i] - state.amp[j])
 
         def assign(args):
             cost, p_asn, t_asn, new_f, new_a, new_s, chg = args
@@ -158,9 +161,10 @@ def process(config: TrackerConfig, state: TrackerState,
             new_f = new_f.at[j].set(peak_freq[i])
             new_a = new_a.at[j].set(peak_amp[i])
             new_s = new_s.at[j].set(CONTINUE)
-            chg = Changes(chg.freq_sum + fch, chg.freq_abs + jnp.abs(fch),
-                          chg.amp_sum + ach, chg.amp_abs + jnp.abs(ach),
-                          chg.count + 1)
+            if config.track_changes:
+                chg = Changes(chg.freq_sum + fch, chg.freq_abs + jnp.abs(fch),
+                              chg.amp_sum + ach, chg.amp_abs + jnp.abs(ach),
+                              chg.count + 1)
             return cost, p_asn, t_asn, new_f, new_a, new_s, chg
 
         return jax.lax.cond(do, assign, lambda a: a,
@@ -177,9 +181,11 @@ def process(config: TrackerConfig, state: TrackerState,
         0, n_assign, body, carry)
 
     # Average the change statistics (change_tracker::complete, :110-120).
-    recip = jnp.where(chg.count > 0, 1.0 / jnp.maximum(chg.count, 1).astype(dtype), 1.0)
-    chg = Changes(chg.freq_sum * recip, chg.freq_abs * recip,
-                  chg.amp_sum * recip, chg.amp_abs * recip, chg.count)
+    if config.track_changes:
+        recip = jnp.where(chg.count > 0,
+                          1.0 / jnp.maximum(chg.count, 1).astype(dtype), 1.0)
+        chg = Changes(chg.freq_sum * recip, chg.freq_abs * recip,
+                      chg.amp_sum * recip, chg.amp_abs * recip, chg.count)
 
     # Start new tracks: unassigned peaks (input order) with amp >= threshold fill
     # free tracks in index order (:264-280).

@@ -53,9 +53,8 @@ def ir_deconvolve(measured: jax.Array, excitation: jax.Array,
     power = xr * xr + xi * xi
     floor = regularization * jnp.max(power, axis=-1, keepdims=True)
     denom = power + floor
-    hr = (yr * xr + yi * xi) / denom
-    hi = (yi * xr - yr * xi) / denom
-    H = fft_api.pack_spectrum(hr, hi)
+    num = cmul_conj(Split(yr, yi), Split(xr, xi))
+    H = fft_api.pack_spectrum(num.re / denom, num.im / denom)
     h = fft_api.rifft(H.re, H.im, backend=backend) * (0.5 / n)
     return h
 

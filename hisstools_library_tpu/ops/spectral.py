@@ -212,7 +212,7 @@ def ir_convolve_real(a: Split, b: Split, scale=1.0) -> Split:
 
 
 def ir_correlate_complex(a: Split, b: Split, scale=1.0) -> Split:
-    """conj(a) * b per bin (SpectralFunctions.hpp:426-430)."""
+    """a * conj(b) per bin (SpectralFunctions.hpp:426-430)."""
     out = cmul_conj(a, b)
     return out * scale if scale != 1.0 else out
 

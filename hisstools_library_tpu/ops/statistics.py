@@ -14,8 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_f = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-
 
 def _asf(x):
     return jnp.asarray(x)

@@ -99,6 +99,7 @@ class StreamingServer:
                              f"server has {self.channels}")
         length = ir.shape[-1]
         cap = capacity if capacity is not None else self.capacity
+        cap = max(cap, 1)
         while cap < length:  # grow capacity (recompile on next process)
             cap *= 2
         padded = np.zeros((self.channels, cap), ir.dtype)

@@ -129,6 +129,41 @@ def test_large_sizes_matmul(rng, n):
     assert snr_db(2.0 * n * x.astype(np.float64), y) > 90.0
 
 
+def test_matmul_fft_recursive_factors(rng, monkeypatch):
+    """Factors beyond _DIRECT_MAX recurse instead of building dense DFT
+    matrices, and twiddles beyond _TABLE_CONST_MAX_ELEMS are generated
+    in-graph — both exercised here at a small size by lowering the caps
+    (regression for the >=2^23 baked-constant compile abort on axon)."""
+    from hisstools_library_tpu.fft import matmul_fft as mf
+    monkeypatch.setattr(mf, "_DIRECT_MAX", 16)
+    monkeypatch.setattr(mf, "_TABLE_CONST_MAX_ELEMS", 64)
+    n = 4096
+    z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    fr, fi = mf.fft_split(jnp.asarray(z.real), jnp.asarray(z.imag))
+    ref = np.fft.fft(z)
+    assert snr_db(ref.real, fr) > 200.0
+    assert snr_db(ref.imag, fi) > 200.0
+    wr, wi = mf.fft_split(fr, fi, inverse=True)  # unscaled inverse: n * z
+    assert snr_db(n * z.real, wr) > 200.0
+    # f32 in-graph tables (the TPU dtype) stay well above the bf16x3 noise floor
+    fr32, fi32 = mf.fft_split(jnp.asarray(z.real, jnp.float32),
+                              jnp.asarray(z.imag, jnp.float32))
+    assert snr_db(ref.real, fr32) > 100.0
+
+
+def test_matmul_rfft_ingraph_half_twiddle(rng, monkeypatch):
+    from hisstools_library_tpu.fft import matmul_fft as mf
+    monkeypatch.setattr(mf, "_TABLE_CONST_MAX_ELEMS", 64)
+    n = 1024
+    x = rng.standard_normal((n,))
+    re, im = mf.rfft_packed(jnp.asarray(x))
+    ore, oim = packed_oracle(x)
+    assert snr_db(ore, re) > 200.0
+    assert snr_db(oim, im) > 200.0
+    y = mf.rifft_packed(re, im)
+    assert snr_db(2.0 * n * x, y) > 200.0
+
+
 def test_float64_path(rng):
     # f64 parity path (reference supports double throughout; TPU emulates f64 but
     # CPU tests exercise it exactly).
@@ -193,6 +228,20 @@ def test_pallas_bf16x3_mode_snr(rng):
     re, im = pallas_fft.rfft_packed(jnp.asarray(x), interpret=True, mode="bf16x3")
     y = pallas_fft.rifft_packed(re, im, interpret=True, mode="bf16x3")
     assert snr_db(2.0 * n * x.astype(np.float64), y) > 90.0
+
+
+def test_pallas_complex_fft_bf16x3(rng):
+    """_cfft_kernel with pre-stacked bf16x3 table splits matches the oracle."""
+    from hisstools_library_tpu.fft import pallas_fft
+
+    n = 8192
+    zr = rng.standard_normal((2, n)).astype(np.float32)
+    zi = rng.standard_normal((2, n)).astype(np.float32)
+    fr, fi = pallas_fft.fft_split(jnp.asarray(zr), jnp.asarray(zi),
+                                  interpret=True, mode="bf16x3")
+    z = np.fft.fft(zr.astype(np.float64) + 1j * zi.astype(np.float64), axis=-1)
+    assert snr_db(z.real, fr) > 90.0
+    assert snr_db(z.imag, fi) > 90.0
 
 
 def test_pallas_backend_via_api(rng):

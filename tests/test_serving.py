@@ -128,6 +128,13 @@ def test_serving_threaded_swap_smoke(rng):
     assert any(lives)
 
 
+def test_serving_capacity_zero_does_not_hang(rng):
+    """Regression: capacity=0 used to loop forever (0*2 == 0) in the grow loop."""
+    srv = make_server()
+    srv.set_ir(rng.standard_normal((2, 100)).astype(np.float32), capacity=0)
+    assert srv.capacity >= 100
+
+
 def test_serving_capacity_growth(rng):
     srv = make_server()
     srv.set_ir(rng.standard_normal((2, 100)).astype(np.float32))

@@ -54,20 +54,15 @@ def convolve_oracle(x1, x2, mode):
     return lin[mn - 1: mn - 1 + mx]
 
 
-def correlate_lags(x1, x2):
-    """c[m] = sum_n x1[n] x2[n+m] for m in [-(s1-1), s2-1] as dict m -> value."""
-    s1, s2 = len(x1), len(x2)
-    full = np.convolve(x2, x1[::-1].conj())
-    return {m: full[m + s1 - 1] for m in range(-(s1 - 1), s2)}
-
-
 def brute_circular_correlate(x1, x2, fft):
-    """circ[m] = sum_n x1[n] x2[(n+m) % fft] computed directly in the time domain."""
+    """circ[m] = sum_n x1[(n+m) % fft] x2[n] computed directly in the time domain
+    (the reference correlate functor is X1 * conj(X2): positive lags shift x1
+    forward, SpectralFunctions.hpp:265-272)."""
     a = np.zeros(fft)
     b = np.zeros(fft)
     a[: len(x1)] = x1
     b[: len(x2)] = x2
-    return np.array([np.dot(a, np.roll(b, -m)) for m in range(fft)])
+    return np.array([np.dot(np.roll(a, -m), b) for m in range(fft)])
 
 
 def correlate_oracle(x1, x2, mode):
@@ -150,6 +145,17 @@ def test_correlate_real(rng, mode, sizes):
     assert snr_db(ref, out) > 200
 
 
+def test_correlate_orientation():
+    """Regression: correlate conjugates the SECOND operand (X1 * conj(X2)).
+
+    With the flipped orientation (conj(X1) * X2) the deep negative lags of a
+    longer-first-input correlation are dropped by arrange_correlate and zeros
+    are emitted: [-1,-1,0,0,5,-1] instead of [-1,-1,-1,-1,5,-1]."""
+    out = np.asarray(sp.correlate(jnp.asarray([1.0, 2.0, 3.0, 4.0, 5.0]),
+                                  jnp.asarray([1.0, -1.0]), EM.Linear))
+    assert np.allclose(out, [-1.0, -1.0, -1.0, -1.0, 5.0, -1.0], atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", [EM.Linear, EM.Wrap, EM.WrapCentre])
 @pytest.mark.parametrize("sizes", [(64, 64), (100, 37)])
 def test_convolve_complex(rng, mode, sizes):
@@ -179,9 +185,9 @@ def test_correlate_complex_linear(rng, sizes):
     out = sp.correlate_complex(Split(jnp.asarray(z1.real), jnp.asarray(z1.imag)),
                                Split(jnp.asarray(z2.real), jnp.asarray(z2.imag)),
                                EM.Linear)
-    # c[m] = sum conj(z1[n]) z2[n+m]
-    full = np.convolve(z2, np.conj(z1[::-1]))
-    lag = lambda m: full[m + n1 - 1] if -(n1 - 1) <= m <= n2 - 1 else 0.0
+    # Reference convention (X1 * conj(X2)): c[m] = sum_n z1[n+m] conj(z2[n])
+    full = np.convolve(z1, np.conj(z2[::-1]))
+    lag = lambda m: full[m + n2 - 1] if -(n2 - 1) <= m <= n1 - 1 else 0.0
     ref = np.array([lag(m) for m in range(n1)] + [lag(m) for m in range(-(n2 - 1), 0)])
     assert snr_db(ref.real, out.re) > 190
     assert snr_db(ref.imag, out.im) > 190
