@@ -72,6 +72,13 @@ class PartitionScheme:
         if not self.sizes:
             raise ConvolveException(ConvolveError.FFT_SIZE_OUT_OF_RANGE,
                                     "no valid FFT sizes given")
+        if len(self.sizes) > 4:
+            # sections() builds plans for at most four sizes (A < B < C < D,
+            # reference setPartitions, MonoConvolve.cpp:203-258); extra sizes
+            # would silently drop IR coverage, so reject them outright.
+            raise ConvolveException(ConvolveError.FFT_SIZE_OUT_OF_RANGE,
+                                    f"at most 4 FFT sizes supported, got "
+                                    f"{len(self.sizes)}")
 
     @classmethod
     def from_latency(cls, mode: LatencyMode) -> "PartitionScheme":
@@ -230,7 +237,11 @@ class MonoConvolve:
             if request_resize:
                 self.resize(ir.shape[-1])
             else:
+                # Reference semantics (MonoConvolve.cpp:117-139): without a
+                # resize the IR is still loaded, clamped to the declared
+                # capacity, and the error reports the truncation.
                 err = ConvolveError.MEM_ALLOC_TOO_SMALL
+                ir = ir[..., :self.max_length]
         self._tail_lazy = offline_tail is None
         # The host IR copy is only needed to build a lazy tail; released on
         # first process_offline so large banks don't pin 2x host memory.
@@ -296,8 +307,13 @@ def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
     With ``offline_tail`` (default) the remainder of the IR past the direct-FIR
     sections is additionally partitioned at the offline-optimal uniform FFT
     size, so :func:`process_offline` runs it as one throughput-tuned engine
-    instead of the latency-bounded large sections."""
+    instead of the latency-bounded large sections.
+
+    ``max_length`` > 0 clamps the IR to that many taps (the reference engine
+    never builds more partitions than its declared capacity)."""
     ir = np.asarray(ir)
+    if max_length and ir.shape[-1] > max_length:
+        ir = ir[..., :max_length]
     head = td.make_taps(ir, 0, scheme.head_taps) if scheme.head_taps else \
         np.zeros(ir.shape[:-1] + (0,), ir.dtype)
     spectra = []

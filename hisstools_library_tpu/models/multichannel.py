@@ -78,11 +78,16 @@ class Convolver:
         if in_chan >= self.num_ins:
             return ConvolveError.IN_CHAN_OUT_OF_RANGE
         ir = np.asarray(ir, np.float64)
+        err = ConvolveError.NONE
+        if ir.shape[-1] > self.max_length:
+            if resize:
+                self.max_length = ir.shape[-1]
+            else:
+                # Reference semantics: load clamped to capacity AND report
+                # the truncation (MonoConvolve.cpp:117-139 via Convolver::set).
+                err = ConvolveError.MEM_ALLOC_TOO_SMALL
+                ir = ir[..., :self.max_length]
         n = ir.shape[-1]
-        if n > self.max_length:
-            if not resize:
-                return ConvolveError.MEM_ALLOC_TOO_SMALL
-            self.max_length = n
         self._ensure_bank(max(self._bank_len, n, 1))
         if self.parallel:
             self._bank[in_chan, :] = 0.0
@@ -91,7 +96,7 @@ class Convolver:
             self._bank[out_chan, in_chan, :] = 0.0
             self._bank[out_chan, in_chan, :n] = ir
         self.ir = None  # invalidate prepared spectra
-        return ConvolveError.NONE
+        return err
 
     def set_all(self, irs, resize: bool = True) -> ConvolveError:
         """Bulk-load the whole IR bank: (C, L) for parallel or (M, N, L) for N2M."""
@@ -100,34 +105,66 @@ class Convolver:
         if irs.shape[:-1] != want:
             raise ConvolveException(ConvolveError.IN_CHAN_OUT_OF_RANGE,
                                     f"bank shape {irs.shape} != {want + ('L',)}")
+        err = ConvolveError.NONE
         if irs.shape[-1] > self.max_length:
-            if not resize:
-                return ConvolveError.MEM_ALLOC_TOO_SMALL
-            self.max_length = irs.shape[-1]
+            if resize:
+                self.max_length = irs.shape[-1]
+            else:  # load clamped + report, as in set()
+                err = ConvolveError.MEM_ALLOC_TOO_SMALL
+                irs = irs[..., :self.max_length]
         self._bank = irs.copy()
         self._bank_len = irs.shape[-1]
         self.ir = None
-        return ConvolveError.NONE
+        return err
 
     def clear(self, in_chan: Optional[int] = None, out_chan: Optional[int] = None,
               resize: bool = True) -> ConvolveError:
-        """Zero one IR or the whole bank (reference Convolver::clear, :51-75)."""
+        """Zero one IR or the whole bank (reference Convolver::clear, :51-75:
+        the no-channel overload clears every pair; the per-pair overload takes
+        BOTH channels). Parallel mode requires in_chan == out_chan, like set."""
         if self._bank is None:
             return ConvolveError.NONE
-        if in_chan is None:
+        if in_chan is None and out_chan is None:
             self._bank[...] = 0.0
-        elif self.parallel:
-            self._bank[in_chan, :] = 0.0
         else:
-            self._bank[out_chan, in_chan, :] = 0.0
+            if self.parallel:
+                if out_chan is None:
+                    out_chan = in_chan
+                if in_chan != out_chan:
+                    return ConvolveError.IN_CHAN_OUT_OF_RANGE
+            elif in_chan is None or out_chan is None:
+                # One channel of an N2M pair alone does not name an IR —
+                # indexing with None would silently hit the wrong bank row.
+                raise ValueError("N2M clear needs both in_chan and out_chan "
+                                 "(or neither, to clear the whole bank)")
+            if not 0 <= in_chan < self.num_ins:
+                return ConvolveError.IN_CHAN_OUT_OF_RANGE
+            if not 0 <= out_chan < self.num_outs:
+                return ConvolveError.OUT_CHAN_OUT_OF_RANGE
+            if self.parallel:
+                self._bank[in_chan, :] = 0.0
+            else:
+                self._bank[out_chan, in_chan, :] = 0.0
         self.ir = None
         return ConvolveError.NONE
 
-    def prepare(self, dtype=jnp.float32, backend: Optional[str] = None) -> mono.MonoIR:
-        """Build the device-resident spectra pytree from the host bank."""
+    def prepare(self, dtype=jnp.float32, backend: Optional[str] = None,
+                offline_tail: Optional[bool] = None) -> mono.MonoIR:
+        """Build the device-resident spectra pytree from the host bank.
+
+        ``offline_tail``: None (default) = lazy — the throughput-optimal
+        offline tail (an extra full-BANK transform + ~bank-sized device
+        memory that streaming never reads) attaches on the first
+        :meth:`process_offline` call; True builds it eagerly; False never
+        (same contract as :meth:`mono.MonoConvolve.set`)."""
         if self._bank is None:
             self._ensure_bank(1)
-        self.ir = mono.prepare_ir(self.scheme, self._bank, dtype=dtype, backend=backend)
+        self._tail_lazy = offline_tail is None
+        self._dtype = dtype
+        self._backend = backend
+        self.ir = mono.prepare_ir(self.scheme, self._bank, dtype=dtype,
+                                  backend=backend,
+                                  offline_tail=bool(offline_tail))
         return self.ir
 
     # -- processing ----------------------------------------------------------------
@@ -163,6 +200,15 @@ class Convolver:
 
     def process_offline(self, ins: jax.Array,
                         backend: Optional[str] = None) -> jax.Array:
+        if (self.ir is not None and self.ir.tail is None
+                and getattr(self, "_tail_lazy", False)):
+            # First offline use of a lazily-prepared bank: attach ONLY the
+            # missing throughput tail (the section spectra are already built;
+            # the host bank is retained by this class, so no extra copy).
+            tail, shift = mono._make_offline_tail(self.scheme, self._bank,
+                                                  self._dtype, self._backend)
+            self.ir = mono.MonoIR(self.ir.head_taps, self.ir.spectra,
+                                  tail, shift)
         return process_offline(self.ir, ins, self.parallel, backend=backend)
 
     def reset(self, *, in_chan: Optional[int] = None,

@@ -251,15 +251,17 @@ class PartialTracker:
         return (float(self.state.freq[idx]), float(self.state.amp[idx]),
                 int(self.state.state[idx]))
 
-    # change_tracker accessors (reference :296-309)
+    # change_tracker accessors (reference :296-309) — 0 before the first
+    # frame and after reset(), like the reference change_tracker's
+    # zero-initialised members.
     def freq_change_sum(self):
-        return float(self.changes.freq_sum)
+        return float(self.changes.freq_sum) if self.changes is not None else 0.0
 
     def freq_change_abs(self):
-        return float(self.changes.freq_abs)
+        return float(self.changes.freq_abs) if self.changes is not None else 0.0
 
     def amp_change_sum(self):
-        return float(self.changes.amp_sum)
+        return float(self.changes.amp_sum) if self.changes is not None else 0.0
 
     def amp_change_abs(self):
-        return float(self.changes.amp_abs)
+        return float(self.changes.amp_abs) if self.changes is not None else 0.0

@@ -102,8 +102,6 @@ def _chain_jit(sample_rate: float, regularization: float,
     mono -> amplitude -> smooth -> peaks). Eager execution pays a tunnel
     round-trip per op under the axon backend (measured: 9 s/run eager vs
     ~0.1 s jitted for the config-5 bench); the tracker stays host-side."""
-    from ..ops import windows
-
     kernel = np.asarray(kernel_key, np.float64)
 
     def fn(measured, excitation):
@@ -166,7 +164,12 @@ def run_ir_pipeline(measured: jax.Array, excitation: jax.Array,
 
     if tracker is None:
         tracker = pt.PartialTracker(n_peaks, n_peaks, dtype=jnp.float64)
-    tracker.process(np.asarray(f_np, np.float64), np.asarray(a_np, np.float64),
+    # find_peaks pads absent slots with freq=0/amp=0; feeding those through
+    # with start_threshold=0.0 would start a bogus 0 Hz track per pad slot,
+    # so only the genuine peaks reach the tracker.
+    a64 = np.asarray(a_np, np.float64)
+    n_valid = int(np.count_nonzero(a64 > 0.0))
+    tracker.process(np.asarray(f_np, np.float64)[:n_valid], a64[:n_valid],
                     start_threshold=0.0)
 
     return IRPipelineResult(

@@ -84,10 +84,15 @@ class Handle(Generic[T]):
             self._value, self._size = self._owner._set_unlocked(value, size)
 
     def grow(self, alloc: Callable[[int], T], size: int) -> None:
-        self.equal(alloc, size)
+        # std::greater semantics (MemorySwap.h:204-207): only grows.
+        if self._owner is not None and size > self._size:
+            self._value, self._size = self._owner._set_unlocked(alloc(size), size)
 
     def equal(self, alloc: Callable[[int], T], size: int) -> None:
-        if self._owner is not None and self._size < size:
+        # Exact-size semantics (std::not_equal_to in the reference,
+        # MemorySwap.h:174-212): shrinks reallocate too — callers like the
+        # reference's MonoConvolve::resize test `getSize() == length`.
+        if self._owner is not None and self._size != size:
             self._value, self._size = self._owner._set_unlocked(alloc(size), size)
 
     def __enter__(self) -> "Handle[T]":
@@ -128,13 +133,19 @@ class MemorySwap(Generic[T]):
         return Handle(self, self._value, self._size)
 
     def grow(self, alloc: Callable[[int], T], size: int) -> Handle[T]:
-        """Reallocate if the current size is smaller (:204-207)."""
-        return self.equal(alloc, size)
+        """Reallocate only if the current size is smaller (std::greater,
+        MemorySwap.h:204-207)."""
+        self._lock.acquire()
+        if size > self._size:
+            self._set_unlocked(alloc(size), size)
+        return Handle(self, self._value, self._size)
 
     def equal(self, alloc: Callable[[int], T], size: int) -> Handle[T]:
-        """Reallocate if the current size differs insufficiently (:209-212)."""
+        """Reallocate unless the current size is EXACTLY ``size`` (the
+        reference's allocate_if<std::not_equal_to>, MemorySwap.h:209-212 —
+        shrinks reallocate too)."""
         self._lock.acquire()
-        if self._size < size:
+        if self._size != size:
             self._set_unlocked(alloc(size), size)
         return Handle(self, self._value, self._size)
 

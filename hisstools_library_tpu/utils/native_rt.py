@@ -202,12 +202,19 @@ class NativeMemorySwap:
         return Handle(self, value, size if value is not None else 0)
 
     def grow(self, alloc, size: int) -> Handle:
-        return self.equal(alloc, size)
+        # std::greater semantics (MemorySwap.h:204-207): only grows.
+        v, s = _u64(), _u64()
+        self._lib.ht_swap_access(self._ptr, ctypes.byref(v), ctypes.byref(s))
+        if size > s.value:
+            value = alloc(size)
+            self._set_unlocked(value, size)
+            return Handle(self, value, size)
+        return Handle(self, self._fetch(v.value), s.value)
 
     def equal(self, alloc, size: int) -> Handle:
         v, s = _u64(), _u64()
         self._lib.ht_swap_access(self._ptr, ctypes.byref(v), ctypes.byref(s))
-        if s.value < size:
+        if s.value != size:  # exact-size, as MemorySwap.h's std::not_equal_to
             value, new_size = alloc(size), size
             self._set_unlocked(value, new_size)
             return Handle(self, value, new_size)

@@ -274,3 +274,19 @@ def test_smooth_vectorised_matches_group_path(rng):
     d = np.asarray(y_vec, np.float64) - ref
     snr = 10 * np.log10((ref * ref).sum() / max((d * d).sum(), 1e-300))
     assert snr > 100.0
+
+
+def test_tracker_change_accessors_before_process():
+    """change accessors are 0 before any frame and after reset() (the
+    reference change_tracker's zero-initialised members, PartialTracker.hpp),
+    not an AttributeError on the None changes."""
+    tr = PartialTracker(8, 8, track_changes=True, dtype=jnp.float64)
+    assert tr.freq_change_sum() == 0.0
+    assert tr.freq_change_abs() == 0.0
+    assert tr.amp_change_sum() == 0.0
+    assert tr.amp_change_abs() == 0.0
+    tr.process([100.0, 200.0], [1.0, 0.5], start_threshold=0.1)
+    tr.process([101.0, 201.0], [1.1, 0.6], start_threshold=0.1)
+    assert tr.freq_change_abs() > 0.0
+    tr.reset()
+    assert tr.freq_change_abs() == 0.0

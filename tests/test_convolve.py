@@ -405,3 +405,48 @@ def test_validate_fft_size_zero_raises_convolve_error():
     for bad in (0, -4):
         with pytest.raises(ConvolveException):
             partitioned.validate_fft_size(bad)
+
+
+def test_scheme_rejects_more_than_four_sizes():
+    """sections() builds plans for at most A<B<C<D (reference setPartitions,
+    MonoConvolve.cpp:203-258); a 5th size used to be silently dropped,
+    mis-covering the IR (measured rel err ~1.2 on the streamed output)."""
+    from hisstools_library_tpu.core.errors import ConvolveException
+    with pytest.raises(ConvolveException):
+        mono.PartitionScheme((64, 128, 256, 512, 1024), zero_latency=True)
+    # 4 sizes remain exactly covered end-to-end
+    rng = np.random.default_rng(7)
+    scheme = mono.PartitionScheme((64, 128, 256, 512), zero_latency=True)
+    ir = rng.standard_normal(1500)
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float64, offline_tail=False)
+    st = mono.init_stream_state(scheme, mir, (), jnp.float64)
+    L = 2048
+    x = rng.standard_normal(L)
+    st, y = mono.process_any(mir, st, jnp.asarray(x))
+    ref = np.convolve(x, ir)[:L]
+    err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+    assert err < 1e-12
+
+
+def test_mono_set_no_resize_clamps(rng):
+    """request_resize=False loads the IR truncated to max_length alongside
+    MEM_ALLOC_TOO_SMALL (reference MonoConvolve.cpp:117-139); it used to
+    build and convolve the full over-length IR."""
+    scheme = PartitionScheme((32, 128), zero_latency=True)
+    conv = mono.MonoConvolve(max_length=200, scheme=scheme)
+    ir = rng.standard_normal(500)
+    assert conv.set(ir, dtype=jnp.float64,
+                    request_resize=False).name == "MEM_ALLOC_TOO_SMALL"
+    assert conv.length == 200
+    L = 1024
+    x = rng.standard_normal(L)
+    st = conv.init_state(dtype=jnp.float64)
+    _, y = conv.process(st, jnp.asarray(x))
+    ref = np.convolve(x, ir[:200])[:L]
+    assert np.abs(np.asarray(y) - ref).max() / np.abs(ref).max() < 1e-12
+    # prepare_ir honours max_length directly too (it was a dead parameter)
+    mir = mono.prepare_ir(scheme, ir, max_length=200, dtype=jnp.float64,
+                          offline_tail=False)
+    st2 = mono.init_state(scheme, mir, (), jnp.float64)
+    _, y2 = mono.process(mir, st2, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))

@@ -83,3 +83,87 @@ def test_offline_equals_streaming(rng):
     _, ys = conv.process(state, jnp.asarray(x))
     yo = conv.process_offline(jnp.asarray(x))
     assert snr_db(np.asarray(ys), yo) > 250
+
+
+def test_clear_per_pair_validation(rng):
+    """N2M clear takes BOTH channels (reference Convolver::clear overloads,
+    Convolver.cpp:51-75); a lone channel used to index the bank with None
+    (numpy newaxis) and silently zero the wrong IRs."""
+    N, M, L = 3, 2, 64 * 3
+    conv = mc.Convolver(N, M, scheme=SCHEME)
+    irs = rng.standard_normal((M, N, 80))
+    conv.set_all(irs)
+    with pytest.raises(ValueError):
+        conv.clear(in_chan=1)
+    with pytest.raises(ValueError):
+        conv.clear(out_chan=1)
+    assert conv.clear(5, 0).name == "IN_CHAN_OUT_OF_RANGE"
+    assert conv.clear(0, 5).name == "OUT_CHAN_OUT_OF_RANGE"
+    # the failed clears left the bank untouched
+    assert conv.clear(1, 0).name == "NONE"
+    conv.prepare(dtype=jnp.float64)
+    state = conv.init_state(dtype=jnp.float64)
+    x = rng.standard_normal((N, L))
+    _, y = conv.process(state, jnp.asarray(x))
+    ref0 = np.convolve(x[0], irs[0, 0])[:L] + np.convolve(x[2], irs[0, 2])[:L]
+    assert snr_db(ref0, np.asarray(y)[0]) > 180  # pair (in 1, out 0) cleared
+    ref1 = sum(np.convolve(x[i], irs[1, i])[:L] for i in range(N))
+    assert snr_db(ref1, np.asarray(y)[1]) > 180  # out 1 untouched
+
+
+def test_clear_parallel_single_channel(rng):
+    C, L = 3, 64 * 3
+    conv = mc.Convolver(C, scheme=SCHEME)
+    irs = rng.standard_normal((C, 80))
+    conv.set_all(irs)
+    assert conv.clear(1).name == "NONE"  # parallel: one channel is a pair
+    assert conv.clear(0, 1).name == "IN_CHAN_OUT_OF_RANGE"  # mismatched pair
+    conv.prepare(dtype=jnp.float64)
+    state = conv.init_state(dtype=jnp.float64)
+    x = rng.standard_normal((C, L))
+    _, y = conv.process(state, jnp.asarray(x))
+    assert np.allclose(np.asarray(y)[1], 0.0)
+    assert snr_db(np.convolve(x[0], irs[0])[:L], np.asarray(y)[0]) > 180
+
+
+def test_set_no_resize_clamps(rng):
+    """resize=False loads the IR clamped to capacity AND reports the
+    truncation (reference MonoConvolve.cpp:117-139 semantics)."""
+    L = 64 * 4
+    conv = mc.Convolver(2, scheme=SCHEME, max_length=96)
+    ir = rng.standard_normal(200)
+    assert conv.set(0, 0, ir, resize=False).name == "MEM_ALLOC_TOO_SMALL"
+    assert conv.set(1, 1, ir[:50], resize=False).name == "NONE"
+    conv.prepare(dtype=jnp.float64)
+    state = conv.init_state(dtype=jnp.float64)
+    x = rng.standard_normal((2, L))
+    _, y = conv.process(state, jnp.asarray(x))
+    assert snr_db(np.convolve(x[0], ir[:96])[:L], np.asarray(y)[0]) > 180
+    # set_all follows the same contract
+    conv2 = mc.Convolver(2, scheme=SCHEME, max_length=96)
+    assert conv2.set_all(rng.standard_normal((2, 200)),
+                         resize=False).name == "MEM_ALLOC_TOO_SMALL"
+    assert conv2._bank_len == 96
+
+
+def test_prepare_lazy_offline_tail(rng):
+    """prepare() defaults to the lazy offline tail (same contract as
+    MonoConvolve.set): no tail until the first process_offline call, then
+    identical output to an eagerly-prepared bank."""
+    C, L = 2, 64 * 4
+    irs = rng.standard_normal((C, 500))
+    x = rng.standard_normal((C, L))
+    conv = mc.Convolver(C, scheme=SCHEME)
+    conv.set_all(irs)
+    conv.prepare(dtype=jnp.float64)
+    assert conv.ir.tail is None  # lazy: streaming prep pays no tail cost
+    y = conv.process_offline(jnp.asarray(x))
+    assert conv.ir.tail is not None
+    conv_eager = mc.Convolver(C, scheme=SCHEME)
+    conv_eager.set_all(irs)
+    conv_eager.prepare(dtype=jnp.float64, offline_tail=True)
+    assert conv_eager.ir.tail is not None
+    y_eager = conv_eager.process_offline(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_eager))
+    for c in range(C):
+        assert snr_db(np.convolve(x[c], irs[c])[:L], np.asarray(y)[c]) > 180

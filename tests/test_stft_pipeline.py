@@ -132,3 +132,22 @@ def test_pipeline_with_phase_reshape(rng):
     res = pipeline.run_ir_pipeline(jnp.asarray(measured), jnp.asarray(exc),
                                    phase=0.0, n_peaks=4)
     assert np.all(np.isfinite(res.impulse))
+
+
+def test_pipeline_no_phantom_zero_tracks(rng):
+    """find_peaks pads absent slots with freq=0/amp=0; those pads must not
+    start tracks (they used to: 13/16 bogus 0 Hz STARTs on a 3-peak IR)."""
+    import hisstools_library_tpu.models.partial_tracker as pt_mod
+    L = 4096
+    exc = rng.standard_normal(L)
+    # A narrow 3-mode IR: only a handful of genuine spectral peaks.
+    t = np.arange(256)
+    h_true = sum(np.sin(2 * np.pi * f * t / 48000.0) * np.exp(-t / 40.0)
+                 for f in (1000.0, 5000.0, 12000.0))
+    measured = np.stack([np.convolve(exc, h_true) for _ in range(2)])
+    res = pipeline.run_ir_pipeline(jnp.asarray(measured), jnp.asarray(exc),
+                                   sample_rate=48000.0, n_peaks=16)
+    st = res.tracker_state
+    active = np.asarray(st.state) != pt_mod.OFF
+    zero_freq_active = active & (np.asarray(st.freq) == 0.0)
+    assert not np.any(zero_freq_active)

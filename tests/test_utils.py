@@ -143,3 +143,29 @@ def test_loader_vs_audio_thread():
     assert hits[0] > 0  # audio thread made progress
     with ms.access() as h:
         assert h.get()[0] == 49.0
+
+
+def test_equal_exact_size_semantics():
+    """equal() reallocates on ANY size mismatch including shrinks
+    (std::not_equal_to, MemorySwap.h:209-212) — the reference's
+    MonoConvolve::resize tests `getSize() == length` and would get a stale
+    oversized value from grow-only behaviour. grow() only grows
+    (std::greater, :204-207)."""
+    freed = []
+    ms = MemorySwap(value="v8", size=8, free=freed.append)
+    with ms.equal(lambda n: f"alloc{n}", 8) as h:
+        assert h.get() == "v8" and h.get_size() == 8  # exact: no realloc
+    with ms.equal(lambda n: f"alloc{n}", 4) as h:  # shrink: must realloc
+        assert h.get() == "alloc4" and h.get_size() == 4
+    assert freed == ["v8"]
+    with ms.grow(lambda n: f"alloc{n}", 2) as h:  # grow never shrinks
+        assert h.get() == "alloc4" and h.get_size() == 4
+    with ms.grow(lambda n: f"alloc{n}", 16) as h:
+        assert h.get() == "alloc16" and h.get_size() == 16
+    # Handle variants under a held lock behave identically
+    h = ms.access()
+    h.equal(lambda n: f"h{n}", 6)
+    assert h.get() == "h6" and h.get_size() == 6
+    h.grow(lambda n: f"h{n}", 3)
+    assert h.get_size() == 6
+    h.release()
