@@ -509,13 +509,19 @@ class OAudioFile(BaseAudioFile):
                  channels: int, sampling_rate: float,
                  endianness: Endianness = Endianness.Little):
         super().__init__()
-        if file_type == FileType.AIFF:
+        # AIFF and NONE both write an AIFC container (reference
+        # OAudioFile.cpp:55 maps AIFF->AIFC and the header branch at :64
+        # writes AIFC for everything non-WAVE).
+        if file_type in (FileType.AIFF, FileType.NONE):
             file_type = FileType.AIFC
         self.file_type = file_type
         self.pcm_format = pcm_format
         self.channels = channels
         self.sampling_rate = float(sampling_rate)
-        if file_type == FileType.AIFC:
+        # Everything non-WAVE is big-endian (reference OAudioFile.cpp:57);
+        # an AIFC NONE-compression tag with little-endian payload would be
+        # silent byte-swapped corruption.
+        if file_type != FileType.WAVE:
             endianness = Endianness.Big
         self.header_endianness = endianness
         self.audio_endianness = endianness

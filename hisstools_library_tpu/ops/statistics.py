@@ -48,11 +48,15 @@ def stat_max_position(x):
 
 
 def stat_count_above(x, threshold):
-    return jnp.sum(_asf(x) > threshold, axis=-1).astype(jnp.float32)
+    x = _asf(x)
+    # Count in the input's float width (f64 on CPU/x64): an f32 count loses
+    # integer exactness above 2^24 elements.
+    return jnp.sum(x > threshold, axis=-1).astype(x.dtype)
 
 
 def stat_count_below(x, threshold):
-    return jnp.sum(_asf(x) < threshold, axis=-1).astype(jnp.float32)
+    x = _asf(x)
+    return jnp.sum(x < threshold, axis=-1).astype(x.dtype)
 
 
 def stat_ratio_above(x, threshold):

@@ -108,10 +108,13 @@ def table_read(table: jax.Array, positions: jax.Array, mul=1.0,
         idx0 = jnp.floor(pos).astype(jnp.int32)
         fract = (pos - jnp.floor(pos)).astype(table.dtype)
 
+    # End values depend only on (table, interp): computed once, not per tap
+    # (cubic fetches 4 offsets; eager callers would redo the ends each time).
+    lo_v, hi_v = _extrapolate_ends(table, interp) if extrapolate else (None, None)
+
     def fetch(offset: int) -> jax.Array:
         idx = idx0 + offset
         if extrapolate:
-            lo_v, hi_v = _extrapolate_ends(table, interp)
             inr = jnp.clip(idx, 0, size - 1)
             v = jnp.take(table, inr, axis=-1)
             v = jnp.where(idx < 0, lo_v, v)

@@ -39,8 +39,17 @@ def make_mesh(devices: Optional[Sequence] = None,
     if channel is None and block is None:
         channel, block = n, 1
     elif channel is None:
+        if n % block:
+            # Inferring channel = n // block would silently idle n % block
+            # devices (e.g. block=3 on 8 devices -> a 2x3 mesh, 25% of the
+            # machine unused with nothing printed).
+            raise ValueError(f"block={block} does not divide {n} devices; "
+                             f"pass channel explicitly to use a subset")
         channel = n // block
     elif block is None:
+        if n % channel:
+            raise ValueError(f"channel={channel} does not divide {n} devices; "
+                             f"pass block explicitly to use a subset")
         block = n // channel
     if channel * block > n:
         raise ValueError(f"mesh {channel}x{block} needs more than {n} devices")

@@ -290,3 +290,11 @@ def test_tracker_change_accessors_before_process():
     assert tr.freq_change_abs() > 0.0
     tr.reset()
     assert tr.freq_change_abs() == 0.0
+
+
+def test_statistics_count_dtype_matches_input():
+    """Counts return in the input's float width (f64 under x64) — an f32
+    count loses integer exactness above 2^24 elements."""
+    x = jnp.asarray(np.ones(100), jnp.float64)
+    assert st.stat_count_above(x, 0.5).dtype == jnp.float64
+    assert st.stat_count_below(x, 0.5).dtype == jnp.float64

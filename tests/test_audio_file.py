@@ -202,3 +202,20 @@ def test_half_lsb_rounds_away_from_zero(tmp_path, fmt, ftype):
     # -0.5 + 128 = 127.5 rounds away from zero to 128, i.e. 0 after decode.
     expect_neg = 0 if fmt == PCMFormat.Int8 and ftype == FileType.WAVE else -1
     assert got.tolist() == [1, 2, expect_neg], got
+
+
+def test_write_file_type_none_produces_valid_aifc(tmp_path, rng):
+    """FileType.NONE writes an AIFC container (reference OAudioFile.cpp:55-64:
+    AIFF maps to AIFC and every non-WAVE header is big-endian). It used to
+    write an AIFC header over a little-endian payload — silent byte-swapped
+    corruption with no error flag."""
+    path = str(tmp_path / "none.aiff")
+    x = rng.uniform(-0.9, 0.9, (64, 2)).astype(np.float64)
+    with OAudioFile(path, FileType.NONE, PCMFormat.Int16, 2, 48000.0) as f:
+        assert f.file_type == FileType.AIFC
+        assert f.audio_endianness == Endianness.Big
+        f.write_interleaved(x)
+    with IAudioFile(path) as f:
+        assert not f.error_flags
+        y = f.read_interleaved()
+    assert np.abs(y - x).max() < 2.0 ** -15

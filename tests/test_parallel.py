@@ -183,3 +183,14 @@ def test_sharded_streaming_channel_parallel(rng):
     _, yb = scheme_stream_sharded(mesh, ir, s_sh, x2)
     assert snr_db(np.asarray(ya_ref, np.float64), ya) > 110.0
     assert snr_db(np.asarray(yb_ref, np.float64), yb) > 110.0
+
+
+def test_make_mesh_rejects_non_dividing_inference():
+    """Inferring the other axis from a non-dividing factor would silently
+    idle devices (block=3 on 8 devices -> 2x3 mesh, 2 idle)."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_mesh(block=3)
+    with _pytest.raises(ValueError):
+        make_mesh(channel=5)
+    assert make_mesh(block=2).devices.size == 8

@@ -28,6 +28,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _pcm_format(name: str):
+    """--pcm choice -> PCMFormat (one mapping for both output paths)."""
+    from hisstools_library_tpu.io import PCMFormat
+    return {"int16": PCMFormat.Int16, "int24": PCMFormat.Int24,
+            "float32": PCMFormat.Float32}[name]
+
+
 def read_wav(path):
     from hisstools_library_tpu.io import IAudioFile, get_error_string
 
@@ -40,10 +47,9 @@ def read_wav(path):
 
 
 def write_wav(path, x, sr, pcm="float32"):
-    from hisstools_library_tpu.io import FileType, OAudioFile, PCMFormat
+    from hisstools_library_tpu.io import FileType, OAudioFile
 
-    fmt = {"int16": PCMFormat.Int16, "int24": PCMFormat.Int24,
-           "float32": PCMFormat.Float32}[pcm]
+    fmt = _pcm_format(pcm)
     with OAudioFile(path, FileType.WAVE, fmt, x.shape[0], float(sr)) as f:
         f.write_interleaved(np.asarray(x, np.float64).T)
 
@@ -55,7 +61,7 @@ def stream_convolve(args):
     the block size regardless of file length."""
     import jax
     import jax.numpy as jnp
-    from hisstools_library_tpu.io import FileType, OAudioFile, PCMFormat
+    from hisstools_library_tpu.io import FileType, OAudioFile
     from hisstools_library_tpu.io.streaming import AudioBlockReader
     from hisstools_library_tpu.models import mono
     from hisstools_library_tpu.models.mono import LatencyMode, PartitionScheme
@@ -79,8 +85,7 @@ def stream_convolve(args):
     state = mono.init_state(scheme, prep, batch_shape=(cx,))
     step = jax.jit(lambda i, s, b: mono.process(i, s, b, backend="pallas"))
 
-    fmt = {"int16": PCMFormat.Int16, "int24": PCMFormat.Int24,
-           "float32": PCMFormat.Float32}[args.pcm]
+    fmt = _pcm_format(args.pcm)
     total_in = reader.frames
     tail = 0 if args.trim else ir.shape[1] - 1
     out_len = total_in + tail

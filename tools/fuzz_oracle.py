@@ -35,6 +35,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from hisstools_library_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()  # randomized shapes recompile every run otherwise
+
     from hisstools_library_tpu.models import mono
     from hisstools_library_tpu.models.mono import PartitionScheme
     from hisstools_library_tpu.models.offline import FastFIR, fast_fir

@@ -32,6 +32,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def make_loader(srv, irs, args, swap_log):
+    """The loader-thread body: paced IR prepares + hot swaps with timing
+    (shared by the Python-callback and native-host paths)."""
+    def loader():
+        for k in range(1, args.swaps + 1):
+            time.sleep(args.seconds / (args.swaps + 1))
+            t0 = time.monotonic()
+            srv.set_ir(irs[k])
+            swap_log.append((time.monotonic() - t0, k))
+            print(f"  loader: swapped to IR {k} "
+                  f"(prepare+install {swap_log[-1][0] * 1e3:.1f} ms)",
+                  flush=True)
+    return loader
+
+
 def run_native_host(args, srv, x, irs):
     """Stream through the native audio-callback host (rt_runtime.cpp).
 
@@ -53,18 +68,7 @@ def run_native_host(args, srv, x, irs):
                         n_blocks, warmup_blocks=warmup)
 
     swap_log = []
-
-    def loader():
-        for k in range(1, args.swaps + 1):
-            _time.sleep(args.seconds / (args.swaps + 1))
-            t0 = _time.monotonic()
-            srv.set_ir(irs[k])
-            swap_log.append((_time.monotonic() - t0, k))
-            print(f"  loader: swapped to IR {k} "
-                  f"(prepare+install {swap_log[-1][0] * 1e3:.1f} ms)",
-                  flush=True)
-
-    th = threading.Thread(target=loader)
+    th = threading.Thread(target=make_loader(srv, irs, args, swap_log))
     th.start()
     done, silent = 0, 0
     deadline = _time.time() + 10 * args.seconds + 30
@@ -132,15 +136,7 @@ def main(argv=None):
          np.exp(-np.arange(12000) / 4800.0)).astype(np.float32)
         for _ in range(args.swaps)]
     swap_log = []
-
-    def loader():
-        for k in range(1, args.swaps + 1):
-            time.sleep(args.seconds / (args.swaps + 1))
-            t0 = time.monotonic()
-            srv.set_ir(irs[k])
-            swap_log.append((time.monotonic() - t0, k))
-            print(f"  loader: swapped to IR {k} "
-                  f"(prepare+install {swap_log[-1][0] * 1e3:.1f} ms)", flush=True)
+    loader = make_loader(srv, irs, args, swap_log)
 
     # Warm up the jitted step (compile) before timing.
     y, live = srv.process(x[:, :args.block])

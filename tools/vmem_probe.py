@@ -165,12 +165,14 @@ def main():
     # --- lag-MAC family at max partition count (bench-like bins) ---
     t, k = 16, 16384
     p = _max_true(lambda q: pk.lag_mac_fits(t, q, k), 1, 4096)
+    assert p is not None, "lag_mac_fits claims nothing feasible at T=16"
     print(f"  lag_mac ceiling: T={t} K={k} P={p}")
     _probe(f"lag_mac T={t} K={k} P={p}",
            lambda xr, xi, hr, hi: pk.lag_mac(xr, xi, hr, hi, t,
                                               interpret=interp),
            S(2, t + p, k), S(2, t + p, k), S(2, p, k), S(2, p, k))
     p = _max_true(lambda q: pk.lag_mac_causal_fits(t, q, k), 1, 4096)
+    assert p is not None, "lag_mac_causal_fits claims nothing feasible at T=16"
     print(f"  lag_mac_causal ceiling: T={t} K={k} P={p}")
     _probe(f"lag_mac_causal T={t} K={k} P={p}",
            lambda *a: pk.lag_mac_causal(*a, interpret=interp),
