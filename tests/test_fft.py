@@ -275,3 +275,21 @@ def test_pallas_size_boundary_continuity(rng):
         assert np.abs(np.asarray(re) - ore).max() / scale < 5e-5, n
         y = fft.rifft(re, im, backend="pallas")
         assert snr_db(2.0 * n * x.astype(np.float64), y) > 95.0, n
+
+
+def test_rfft_2pow24_ingraph_twiddles(rng):
+    """n=2^24: the core FFT (m=2^23) exceeds _TABLE_CONST_MAX_ELEMS, so the
+    four-step twiddles are generated in-graph — the configuration that used
+    to abort the axon remote compiler with a >100 MB baked-constant body.
+    Verifies the int32-iota angle path holds >100 dB at real scale."""
+    from hisstools_library_tpu.fft import matmul_fft
+    n = 1 << 24
+    x = rng.standard_normal(n).astype(np.float32)
+    re, im = matmul_fft.rfft_packed(jnp.asarray(x))
+    ref = np.fft.rfft(x.astype(np.float64))
+    pre = 2.0 * ref[: n // 2].real.copy()
+    pim = np.concatenate([[2.0 * ref[n // 2].real], 2.0 * ref[1: n // 2].imag])
+    assert snr_db(pre, re) > 100.0
+    assert snr_db(pim, im) > 100.0
+    y = matmul_fft.rifft_packed(re, im)
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > 100.0
