@@ -450,3 +450,54 @@ def test_mono_set_no_resize_clamps(rng):
     st2 = mono.init_state(scheme, mir, (), jnp.float64)
     _, y2 = mono.process(mir, st2, jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+@pytest.mark.parametrize("mode", ["highest", "bf16x3"])
+def test_fastfir_stream_chain_matches_step_scan(rng, mode):
+    """The streaming whole-chain mega-kernel (pallas_fft.fastfir_chain_stream)
+    continues a warmed step() engine exactly: 3 step() hops, slot-normalise
+    the ring, then one kernel call over 8 more hops — the composite must
+    match an 11-hop pure step() scan in BOTH MXU modes (the offline chain is
+    covered via fast_fir; this pins the stream variant's preloaded-ring and
+    carried-prev handling directly)."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.fft import pallas_fft as pf
+    from hisstools_library_tpu.models import partitioned as part
+    from hisstools_library_tpu.core.types import Split as S
+
+    n, hop, c, t = 2048, 1024, 2, 8
+    ir = (rng.standard_normal(5 * hop - 300) * 0.3).astype(np.float32)
+    spec = part.impulse_spectra(ir[None], n, 0, 0)
+    P = spec.shape[-2]
+    spec1 = S(spec.re[0], spec.im[0])
+    x = rng.standard_normal((c, (t + 3) * hop)).astype(np.float32)
+
+    def fresh():
+        return part.PartitionedState(
+            prev=jnp.zeros((c, hop), jnp.float32),
+            ring=S(jnp.zeros((c, P, n // 2), jnp.float32),
+                   jnp.zeros((c, P, n // 2), jnp.float32)),
+            pos=jnp.zeros((), jnp.int32))
+
+    st_ref, ref_outs = fresh(), []
+    for j in range(t + 3):
+        st_ref, y = part.PartitionedConvolve.step(
+            spec1, st_ref, jnp.asarray(x[:, j * hop:(j + 1) * hop]))
+        ref_outs.append(np.asarray(y))
+    y_ref = np.concatenate(ref_outs, axis=-1)
+
+    st2, outs = fresh(), []
+    for j in range(3):
+        st2, y = part.PartitionedConvolve.step(
+            spec1, st2, jnp.asarray(x[:, j * hop:(j + 1) * hop]))
+        outs.append(np.asarray(y))
+    s = part.PartitionedConvolve._slot_normalise(st2.ring, st2.pos)
+    hr = jnp.broadcast_to(spec1.re, (c, P, n // 2))
+    hi = jnp.broadcast_to(spec1.im, (c, P, n // 2))
+    yk, nr, ni = pf.fastfir_chain_stream(
+        jnp.asarray(x[:, 3 * hop:(3 + t) * hop]).reshape(c, t, hop),
+        st2.prev, s.re, s.im, hr, hi, scale=1.0 / (4.0 * n),
+        interpret=True, mode=mode)
+    got = np.concatenate(outs + [np.asarray(yk).reshape(c, -1)], axis=-1)
+    assert snr_db(y_ref, got) > (110.0 if mode == "highest" else 95.0)
+    assert nr.shape == (c, P, n // 2)
