@@ -67,6 +67,22 @@ class Convolver:
             self._bank = bank
             self._bank_len = length
 
+    def resize(self, in_chan: int, out_chan: int, length: int) -> ConvolveError:
+        """Reserve capacity for a coming IR (reference Convolver::resize,
+        Convolver.cpp:102-112). The reference grows one MonoConvolve's final
+        section; here all pairs share one batched engine, so the bank-wide
+        capacity grows — a superset reservation with the same observable
+        contract (the pair can subsequently take a ``length``-tap IR with
+        resize=False)."""
+        if self.parallel and in_chan != out_chan:
+            return ConvolveError.IN_CHAN_OUT_OF_RANGE
+        if not 0 <= out_chan < self.num_outs:
+            return ConvolveError.OUT_CHAN_OUT_OF_RANGE
+        if not 0 <= in_chan < self.num_ins:
+            return ConvolveError.IN_CHAN_OUT_OF_RANGE
+        self.max_length = max(self.max_length, int(length))
+        return ConvolveError.NONE
+
     def set(self, in_chan: int, out_chan: int, ir, resize: bool = True) -> ConvolveError:
         """Load one IR (reference Convolver::set, Convolver.cpp:114-134). For
         parallel mode pass in_chan == out_chan. Call prepare() afterwards."""

@@ -167,3 +167,16 @@ def test_prepare_lazy_offline_tail(rng):
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_eager))
     for c in range(C):
         assert snr_db(np.convolve(x[c], irs[c])[:L], np.asarray(y)[c]) > 180
+
+
+def test_resize_reserves_capacity(rng):
+    """Convolver.resize reserves capacity so a later set(resize=False)
+    succeeds at that length (reference Convolver::resize, Convolver.cpp:102-112)."""
+    conv = mc.Convolver(2, 2, scheme=SCHEME, max_length=64)
+    assert conv.resize(0, 1, 500).name == "NONE"
+    assert conv.set(0, 1, rng.standard_normal(500), resize=False).name == "NONE"
+    assert conv.resize(5, 0, 10).name == "IN_CHAN_OUT_OF_RANGE"
+    assert conv.resize(0, 5, 10).name == "OUT_CHAN_OUT_OF_RANGE"
+    par = mc.Convolver(2, scheme=SCHEME)
+    assert par.resize(0, 1, 10).name == "IN_CHAN_OUT_OF_RANGE"
+    assert par.resize(1, 1, 10).name == "NONE"
