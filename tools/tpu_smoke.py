@@ -95,6 +95,20 @@ def main(argv=None):
             check(f"split rfft/rifft {mode} N=2^{n.bit_length() - 1}",
                   s > args.snr, f"SNR {s:.1f} dB")
 
+    # Staged-matmul FFT with in-graph twiddles (core m = 2^23 > the baked-
+    # constant cap): the configuration whose host-baked tables used to abort
+    # the axon remote compiler with a >100 MB program body.
+    if not args.fast:
+        from hisstools_library_tpu.fft import matmul_fft
+        n_big = 1 << 24
+        xb = rng.standard_normal(n_big).astype(np.float32)
+        reb, imb = jax.jit(matmul_fft.rfft_packed)(jnp.asarray(xb))
+        yb = jax.jit(matmul_fft.rifft_packed)(reb, imb)
+        sync(yb)
+        s = snr_db(2.0 * n_big * xb, np.asarray(yb))
+        check(f"matmul rfft/rifft in-graph twiddles N=2^24", s > args.snr,
+              f"SNR {s:.1f} dB")
+
     # Sub-hop streaming with the fused hop kernel on hardware: random odd
     # callback sizes through a small zero-latency scheme vs np.convolve
     # (the pytest coverage runs interpret mode only; Mosaic can diverge).
