@@ -492,6 +492,22 @@ class IAudioFile(BaseAudioFile):
         self._position += got
         return x.reshape(got, self.channels)
 
+    def read_raw(self, num_frames: Optional[int] = None) -> bytes:
+        """Undecoded PCM frame bytes from the current position (reference
+        readRaw, IAudioFile.h:48): ``got * frame_byte_count`` bytes in the
+        file's own sample format and endianness; advances the position."""
+        if not self.is_open() or self.get_is_error():
+            return b""
+        if num_frames is None:
+            num_frames = self.frames - self._position
+        num_frames = max(0, min(num_frames, self.frames - self._position))
+        f = self._file
+        f.seek(self.pcm_offset + self._position * self.frame_byte_count)
+        raw = f.read(num_frames * self.frame_byte_count)
+        got = len(raw) // self.frame_byte_count
+        self._position += got
+        return raw[: got * self.frame_byte_count]
+
     def read_channel(self, channel: int, num_frames: Optional[int] = None,
                      dtype=np.float64) -> np.ndarray:
         """Read one channel (reference readChannel): (frames,)."""

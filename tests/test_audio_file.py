@@ -219,3 +219,22 @@ def test_write_file_type_none_produces_valid_aifc(tmp_path, rng):
         assert not f.error_flags
         y = f.read_interleaved()
     assert np.abs(y - x).max() < 2.0 ** -15
+
+
+def test_read_raw_matches_decoded(tmp_path, rng):
+    """read_raw returns the file's own PCM bytes (reference readRaw,
+    IAudioFile.h:48): decoding them manually equals read_interleaved, and
+    the position advances identically."""
+    path = str(tmp_path / "raw.wav")
+    x = rng.uniform(-0.9, 0.9, (50, 2))
+    with OAudioFile(path, FileType.WAVE, PCMFormat.Int16, 2, 48000.0) as f:
+        f.write_interleaved(x)
+    with IAudioFile(path) as f:
+        f.seek(10)
+        raw = f.read_raw(20)
+        assert len(raw) == 20 * f.frame_byte_count
+        assert f.get_position() == 30
+        ints = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        f.seek(10)
+        dec = f.read_interleaved(20)
+        np.testing.assert_allclose(ints.reshape(20, 2), dec, atol=0)
