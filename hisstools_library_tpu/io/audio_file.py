@@ -677,6 +677,24 @@ class OAudioFile(BaseAudioFile):
         self.frames = max(self.frames, self._position)
         self._update_header()
 
+    def write_raw(self, raw: bytes):
+        """Write pre-encoded PCM frame bytes from the current position
+        (reference writeRaw, OAudioFile.h:30): ``raw`` must be whole frames
+        in the file's own sample format and endianness — pairs with
+        :meth:`IAudioFile.read_raw` for decode-free copying."""
+        if not self.is_open():
+            return
+        if len(raw) % self.frame_byte_count:
+            raise ValueError(f"raw length {len(raw)} is not a multiple of the "
+                             f"frame size {self.frame_byte_count}")
+        n = len(raw) // self.frame_byte_count
+        f = self._file
+        f.seek(self.pcm_offset + self._position * self.frame_byte_count)
+        f.write(raw)
+        self._position += n
+        self.frames = max(self.frames, self._position)
+        self._update_header()
+
     def write_channel(self, channel: int, x: np.ndarray):
         """Write one channel into an interleaved file (read-modify-write of the
         existing interleave, reference writeAudio channel path)."""

@@ -238,3 +238,24 @@ def test_read_raw_matches_decoded(tmp_path, rng):
         f.seek(10)
         dec = f.read_interleaved(20)
         np.testing.assert_allclose(ints.reshape(20, 2), dec, atol=0)
+
+
+def test_raw_copy_roundtrip(tmp_path, rng):
+    """read_raw -> write_raw copies a file bit-exactly without decoding
+    (the reference readRaw/writeRaw pairing, IAudioFile.h:48 / OAudioFile.h:30)."""
+    src_p, dst_p = str(tmp_path / "src.wav"), str(tmp_path / "dst.wav")
+    x = rng.uniform(-0.9, 0.9, (123, 2))
+    with OAudioFile(src_p, FileType.WAVE, PCMFormat.Int24, 2, 44100.0) as f:
+        f.write_interleaved(x)
+    with IAudioFile(src_p) as src, \
+            OAudioFile(dst_p, FileType.WAVE, PCMFormat.Int24, 2, 44100.0) as dst:
+        while True:
+            raw = src.read_raw(32)
+            if not raw:
+                break
+            dst.write_raw(raw)
+        with pytest.raises(ValueError):
+            dst.write_raw(b"x")  # not a whole frame
+    with IAudioFile(src_p) as a, IAudioFile(dst_p) as b:
+        assert b.frames == a.frames
+        np.testing.assert_array_equal(a.read_interleaved(), b.read_interleaved())
