@@ -89,9 +89,9 @@ class Convolver:
         if self.parallel:
             if in_chan != out_chan:
                 return ConvolveError.IN_CHAN_OUT_OF_RANGE
-        if out_chan >= self.num_outs:
+        if not 0 <= out_chan < self.num_outs:
             return ConvolveError.OUT_CHAN_OUT_OF_RANGE
-        if in_chan >= self.num_ins:
+        if not 0 <= in_chan < self.num_ins:
             return ConvolveError.IN_CHAN_OUT_OF_RANGE
         ir = np.asarray(ir, np.float64)
         err = ConvolveError.NONE
@@ -137,15 +137,19 @@ class Convolver:
               resize: bool = True) -> ConvolveError:
         """Zero one IR or the whole bank (reference Convolver::clear, :51-75:
         the no-channel overload clears every pair; the per-pair overload takes
-        BOTH channels). Parallel mode requires in_chan == out_chan, like set."""
-        if self._bank is None:
-            return ConvolveError.NONE
+        BOTH channels). Parallel mode requires in_chan == out_chan, like set.
+        Channel validation happens whether or not a bank exists yet."""
         if in_chan is None and out_chan is None:
-            self._bank[...] = 0.0
+            if self._bank is not None:
+                self._bank[...] = 0.0
         else:
             if self.parallel:
+                # In parallel mode both arguments name the same channel —
+                # either one alone is unambiguous.
                 if out_chan is None:
                     out_chan = in_chan
+                if in_chan is None:
+                    in_chan = out_chan
                 if in_chan != out_chan:
                     return ConvolveError.IN_CHAN_OUT_OF_RANGE
             elif in_chan is None or out_chan is None:
@@ -157,10 +161,11 @@ class Convolver:
                 return ConvolveError.IN_CHAN_OUT_OF_RANGE
             if not 0 <= out_chan < self.num_outs:
                 return ConvolveError.OUT_CHAN_OUT_OF_RANGE
-            if self.parallel:
-                self._bank[in_chan, :] = 0.0
-            else:
-                self._bank[out_chan, in_chan, :] = 0.0
+            if self._bank is not None:
+                if self.parallel:
+                    self._bank[in_chan, :] = 0.0
+                else:
+                    self._bank[out_chan, in_chan, :] = 0.0
         self.ir = None
         return ConvolveError.NONE
 

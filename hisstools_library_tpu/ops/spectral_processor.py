@@ -212,8 +212,9 @@ def convolve(x1: jax.Array, x2: jax.Array, mode: EdgeMode = EdgeMode.Linear,
 
 def correlate(x1: jax.Array, x2: jax.Array, mode: EdgeMode = EdgeMode.Linear,
               backend: Optional[str] = None) -> jax.Array:
-    """FFT cross-correlation sum x1[n] x2[n+m] of real signals
-    (reference spectral_processor::correlate, SpectralProcessor.hpp:181-184)."""
+    """FFT cross-correlation c[m] = sum_n x1[n+m] x2[n] of real signals —
+    the reference convention X1 * conj(X2) (spectral_processor::correlate,
+    SpectralProcessor.hpp:181-184; correlate functor :265-272)."""
     return _binary_op_real(x1, x2, mode, correlate_op=True, backend=backend)
 
 

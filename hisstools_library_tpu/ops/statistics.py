@@ -47,16 +47,21 @@ def stat_max_position(x):
     return jnp.argmax(x, axis=-1) if x.shape[-1] else jnp.asarray(-jnp.inf)
 
 
+def _count_dtype(dtype):
+    """Widest-available float for exact integer counts: f64 inputs keep f64
+    (exact to 2^53); everything else (f32, AND the half-width bf16/f16 whose
+    integers round above 2^8) counts in f32 (exact to 2^24)."""
+    return dtype if dtype == jnp.float64 else jnp.float32
+
+
 def stat_count_above(x, threshold):
     x = _asf(x)
-    # Count in the input's float width (f64 on CPU/x64): an f32 count loses
-    # integer exactness above 2^24 elements.
-    return jnp.sum(x > threshold, axis=-1).astype(x.dtype)
+    return jnp.sum(x > threshold, axis=-1).astype(_count_dtype(x.dtype))
 
 
 def stat_count_below(x, threshold):
     x = _asf(x)
-    return jnp.sum(x < threshold, axis=-1).astype(x.dtype)
+    return jnp.sum(x < threshold, axis=-1).astype(_count_dtype(x.dtype))
 
 
 def stat_ratio_above(x, threshold):

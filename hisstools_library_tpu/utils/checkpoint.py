@@ -70,5 +70,13 @@ def restore_npz(path: str, like: Any) -> Any:
         raise ValueError(f"checkpoint has {len(arrays)} leaves, "
                          f"exemplar has {len(leaves)}")
     import jax.numpy as jnp
-    restored = [jnp.asarray(a, l.dtype) for a, l in zip(arrays, leaves)]
+
+    def _cast(a, l):
+        # Python-scalar leaves (ints/floats in configs) come back as 0-d
+        # arrays from npz — restore them as the exemplar's Python type.
+        if not hasattr(l, "dtype"):
+            return type(l)(a.item())
+        return jnp.asarray(a, l.dtype)
+
+    restored = [_cast(a, l) for a, l in zip(arrays, leaves)]
     return jax.tree_util.tree_unflatten(treedef, restored)

@@ -298,3 +298,11 @@ def test_statistics_count_dtype_matches_input():
     x = jnp.asarray(np.ones(100), jnp.float64)
     assert st.stat_count_above(x, 0.5).dtype == jnp.float64
     assert st.stat_count_below(x, 0.5).dtype == jnp.float64
+
+
+def test_statistics_count_exact_for_bf16_input():
+    """Counts from half-width inputs are exact: bf16 integers round above
+    2^8, so counts promote to f32 rather than inheriting the input dtype."""
+    x = jnp.ones(301, jnp.bfloat16)
+    c = st.stat_count_above(x, 0.5)
+    assert float(c) == 301.0 and c.dtype == jnp.float32

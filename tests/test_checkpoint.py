@@ -71,3 +71,15 @@ def test_npz_leaf_count_mismatch_raises(tmp_path, rng):
     ckpt.save_npz(p, st)
     with pytest.raises(ValueError):
         ckpt.restore_npz(p, {"not": "the same tree"})
+
+
+def test_npz_python_scalar_leaves(tmp_path):
+    """npz restore handles Python-scalar leaves (config values in a state
+    dict), returning them as the exemplar's Python type."""
+    state = {"gain": 0.5, "count": 3, "arr": np.arange(4)}
+    p = str(tmp_path / "s.npz")
+    ckpt.save_npz(p, state)
+    r = ckpt.restore_npz(p, {"gain": 0.0, "count": 0, "arr": np.zeros(4, np.int64)})
+    assert r["gain"] == 0.5 and isinstance(r["gain"], float)
+    assert r["count"] == 3 and isinstance(r["count"], int)
+    np.testing.assert_array_equal(np.asarray(r["arr"]), np.arange(4))

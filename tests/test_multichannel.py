@@ -180,3 +180,21 @@ def test_resize_reserves_capacity(rng):
     par = mc.Convolver(2, scheme=SCHEME)
     assert par.resize(0, 1, 10).name == "IN_CHAN_OUT_OF_RANGE"
     assert par.resize(1, 1, 10).name == "NONE"
+
+
+def test_set_and_clear_reject_negative_channels(rng):
+    conv = mc.Convolver(3, 2, scheme=SCHEME)
+    ir = rng.standard_normal(50)
+    assert conv.set(-1, 0, ir).name == "IN_CHAN_OUT_OF_RANGE"
+    assert conv.set(0, -1, ir).name == "OUT_CHAN_OUT_OF_RANGE"
+    assert conv.clear(-1, 0).name == "IN_CHAN_OUT_OF_RANGE"
+    assert conv.resize(-1, 0, 10).name == "IN_CHAN_OUT_OF_RANGE"
+
+
+def test_clear_parallel_out_chan_alone(rng):
+    """In parallel mode either channel argument alone names the channel."""
+    conv = mc.Convolver(3, scheme=SCHEME)
+    conv.set_all(rng.standard_normal((3, 60)))
+    assert conv.clear(out_chan=1).name == "NONE"
+    assert np.allclose(conv._bank[1], 0.0)
+    assert not np.allclose(conv._bank[0], 0.0)
