@@ -313,7 +313,33 @@ def _snr(ref, test):
     return np.inf if d == 0 else 10 * np.log10(np.sum(ref * ref) / max(d, 1e-300))
 
 
+def _device_watchdog(timeout_s: float) -> bool:
+    """Probe device init in a SUBPROCESS with a timeout: when the axon relay
+    is wedged (terminal-side outage), jax.devices() blocks forever in C++ —
+    un-interruptible from Python — and the whole bench (and its driver)
+    hangs. Probing in a child keeps this process killable; a devices() call
+    is not a remote compile, so timing the child out is safe (CLAUDE.md's
+    no-kill rule covers in-flight Mosaic compiles only)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300"))
+    if timeout_s > 0 and not _device_watchdog(timeout_s):
+        print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                          "vs_baseline": 0,
+                          "error": f"device init did not complete in "
+                                   f"{timeout_s:.0f}s (axon tunnel down?)"}),
+              flush=True)
+        sys.exit(2)
+
     import jax
     import jax.numpy as jnp
 
