@@ -306,3 +306,46 @@ def test_statistics_count_exact_for_bf16_input():
     x = jnp.ones(301, jnp.bfloat16)
     c = st.stat_count_above(x, 0.5)
     assert float(c) == 301.0 and c.dtype == jnp.float32
+
+
+def test_statistics_remaining_surface(rng):
+    """Direct oracle checks for the stat_* functions not covered above
+    (reference Statistics.hpp:67-382)."""
+    x = np.abs(rng.standard_normal(100)) + 0.01
+    w = np.abs(rng.standard_normal(100))
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+    idx = np.arange(100.0)
+    assert float(st.stat_length(xj)) == 100
+    assert float(st.stat_max(xj)) == x.max()
+    assert float(st.stat_min(xj)) == x.min()
+    assert float(st.stat_min_position(xj)) == float(np.argmin(x))
+    assert abs(float(st.stat_sum(xj)) - x.sum()) < 1e-9
+    assert abs(float(st.stat_sum_logs(xj)) - np.log(x).sum()) < 1e-9
+    assert abs(float(st.stat_ratio_above(xj, 0.5)) - (x > 0.5).mean()) < 1e-12
+    assert abs(float(st.stat_weighted_sum(xj)) - (idx * x).sum()) < 1e-8
+    assert abs(float(st.stat_weighted_sum(xj, wj)) - (w * x).sum()) < 1e-9
+    assert abs(float(st.stat_weighted_sum_abs(xj, wj)) - (w * np.abs(x)).sum()) < 1e-9
+    assert abs(float(st.stat_weighted_sum_squares(xj, wj)) - (w * x * x).sum()) < 1e-9
+    assert abs(float(st.stat_weighted_sum_logs(xj, wj)) - (w * np.log(x)).sum()) < 1e-9
+    assert abs(float(st.stat_mean_squares(xj)) - (x * x).mean()) < 1e-9
+    # log-domain shape family vs direct formulas (reference :330-360)
+    li = np.array([0.0] + [np.log2(i) for i in range(1, 100)])
+    lc = (li * x).sum() / x.sum()
+    spread = np.sqrt((((li - lc) ** 2) * x).sum() / x.sum())
+    assert abs(float(st.stat_log_spread(xj)) - spread) < 1e-9
+    skew = (((li - lc) ** 3) * x).sum() / (spread ** 3 * x.sum())
+    assert abs(float(st.stat_log_skewness(xj)) - skew) < 1e-8
+    kurt = (((li - lc) ** 4) * x).sum() / (spread ** 4 * x.sum())
+    assert abs(float(st.stat_log_kurtosis(xj)) - kurt) < 1e-8
+
+
+def test_device_rng_helpers():
+    """device_uniform/device_gaussian: jax-native RNG conveniences."""
+    from hisstools_library_tpu.utils import device_uniform, device_gaussian
+    import jax
+    k = jax.random.PRNGKey(0)
+    u = np.asarray(device_uniform(k, (4096,)))
+    assert u.shape == (4096,) and 0.0 <= u.min() and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.03
+    g = np.asarray(device_gaussian(k, (4096,)))
+    assert abs(g.mean()) < 0.06 and abs(g.std() - 1.0) < 0.06

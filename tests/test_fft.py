@@ -293,3 +293,17 @@ def test_rfft_2pow24_ingraph_twiddles(rng):
     assert snr_db(pim, im) > 100.0
     y = matmul_fft.rifft_packed(re, im)
     assert snr_db(2.0 * n * x.astype(np.float64), y) > 100.0
+
+
+def test_backend_default_roundtrip():
+    """set_default_backend/get_default_backend steer rfft and restore."""
+    from hisstools_library_tpu.fft import api
+    old = api.get_default_backend()
+    try:
+        api.set_default_backend("matmul")
+        assert api.get_default_backend() == "matmul"
+        x = jnp.asarray(np.ones(64, np.float32))
+        re, im = fft.rfft(x)  # runs through the matmul backend
+        assert float(re[0]) == 128.0  # DC lane: 2 * sum(x)
+    finally:
+        api.set_default_backend(old)

@@ -296,3 +296,38 @@ def test_maximum_phase_is_reversed_minimum_phase():
 def test_change_phase_single_sample():
     y = sp.change_phase(jnp.asarray([3.0]), phase=0.0)
     assert np.allclose(np.asarray(y), [3.0])
+
+
+def test_ir_convolve_correlate_functions(rng):
+    """Direct checks of the ir_* binary functors on packed real spectra and
+    split-complex bins (SpectralFunctions.hpp:414-436): time-domain oracles
+    through the public FFT, including the packed DC/Nyquist lane."""
+    n = 256
+    a = rng.standard_normal(n)
+    b = rng.standard_normal(n)
+    A = Split(*fft_api.rfft(jnp.asarray(a)))
+    B = Split(*fft_api.rfft(jnp.asarray(b)))
+    # Circular convolution; the gains cancel exactly: packed spectra are
+    # 2X each, so the 0.25/n scale gives P = X1X2/n, and rifft(P) =
+    # 2n * ifft(P/2) = ifft(X1X2) — the documented real-op scale
+    # (SpectralProcessor.hpp:643) under the repo's packed convention.
+    C = spectral.ir_convolve_real(A, B, scale=0.25 / n)
+    y = np.asarray(fft_api.rifft(C.re, C.im))
+    ref = np.real(np.fft.ifft(np.fft.fft(a) * np.fft.fft(b)))
+    assert snr_db(ref, y) > 200
+    # correlate: c[m] = sum a[(n+m) % N] b[n]  (X1 * conj(X2))
+    D = spectral.ir_correlate_real(A, B, scale=0.25 / n)
+    y = np.asarray(fft_api.rifft(D.re, D.im))
+    ref = np.real(np.fft.ifft(np.fft.fft(a) * np.conj(np.fft.fft(b))))
+    assert snr_db(ref, y) > 200
+    # complex functors against direct bin math
+    z1 = Split(jnp.asarray(rng.standard_normal(8)), jnp.asarray(rng.standard_normal(8)))
+    z2 = Split(jnp.asarray(rng.standard_normal(8)), jnp.asarray(rng.standard_normal(8)))
+    cc = spectral.ir_convolve_complex(z1, z2, scale=2.0)
+    zz = 2.0 * ((np.asarray(z1.re) + 1j * np.asarray(z1.im)) *
+                (np.asarray(z2.re) + 1j * np.asarray(z2.im)))
+    assert snr_db(zz.real, cc.re) > 200 and snr_db(zz.imag, cc.im) > 200
+    rr = spectral.ir_correlate_complex(z1, z2)
+    ww = ((np.asarray(z1.re) + 1j * np.asarray(z1.im)) *
+          np.conj(np.asarray(z2.re) + 1j * np.asarray(z2.im)))
+    assert snr_db(ww.real, rr.re) > 200 and snr_db(ww.imag, rr.im) > 200

@@ -151,3 +151,11 @@ def test_pipeline_no_phantom_zero_tracks(rng):
     active = np.asarray(st.state) != pt_mod.OFF
     zero_freq_active = active & (np.asarray(st.freq) == 0.0)
     assert not np.any(zero_freq_active)
+
+
+def test_stft_helpers():
+    from hisstools_library_tpu.ops import stft as stft_mod
+    # un-padded frame count: 1 + (L - N) // hop
+    assert stft_mod.num_frames(1024, 256, 128) == 1 + (1024 - 256) // 128
+    fwd, inv = stft_mod.stft_roundtrip_scale_check()
+    assert np.isfinite(fwd) and np.isfinite(inv)
