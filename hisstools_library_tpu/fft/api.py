@@ -80,6 +80,10 @@ def _resolve(backend: Optional[str]) -> str:
 
 
 def _log2_size(n: int) -> int:
+    if n <= 0:
+        # bit_length()-1 would be -1 and `1 << -1` raises a bare
+        # "negative shift count" before the real message below.
+        raise ValueError(f"FFT size must be a positive power of two, got {n}")
     log2n = n.bit_length() - 1
     if (1 << log2n) != n:
         raise ValueError(f"FFT size must be a power of two, got {n}")

@@ -189,9 +189,8 @@ def _load_tables_once(hbm_refs, vmem_refs, sems, grid_rank: int = 1):
 # -----------------------------------------------------------------------------
 
 def _split_real(n: int) -> Tuple[int, int]:
-    log2n = n.bit_length() - 1
-    n1 = 1 << ((log2n + 1) // 2)
-    return n1, n // n1
+    # One square-split heuristic for the whole FFT stack (matmul + kernels).
+    return matmul_fft._split_factors(n)
 
 
 @lru_cache(maxsize=32)
@@ -972,7 +971,9 @@ def rfft_packed_stream(x2d: jax.Array, interpret: bool | None = None,
     """
     t, hop = x2d.shape[-2], x2d.shape[-1]
     n = 2 * hop
-    assert real_eligible(n) and x2d.dtype != jnp.float64
+    if not real_eligible(n) or x2d.dtype == jnp.float64:
+        raise ValueError(f"stream rFFT needs an eligible non-f64 size, got "
+                         f"N={n} dtype={x2d.dtype}")
     if interpret is None:
         interpret = _interpret_default()
     n1, n2 = _split_real(n)
@@ -1041,7 +1042,9 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
     t, nbins = re.shape[-2], re.shape[-1]
     n = nbins * 2
     hop = n // 2
-    assert real_eligible(n) and re.dtype != jnp.float64
+    if not real_eligible(n) or re.dtype == jnp.float64:
+        raise ValueError(f"tail riFFT needs an eligible non-f64 size, got "
+                         f"N={n} dtype={re.dtype}")
     if interpret is None:
         interpret = _interpret_default()
     n1, n2 = _split_real(n)
@@ -1077,7 +1080,7 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
             flops=b * t * (8 * n2h * n2 * n1 + 2 * n1 * n1 * n2),
             bytes_accessed=b * t * 12 * hop, transcendentals=0),
     )(pr, pi, *tables)
-    return y.reshape(*lead, t, hop)
+    return y.reshape(*lead, t, hop).astype(re.dtype)
 
 
 # -----------------------------------------------------------------------------
@@ -1215,7 +1218,7 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
             bytes_accessed=4 * c * (2 * t * hop + 2 * p * (n // 2)),
             transcendentals=0),
     )(x4, x4, h4_re, h4_im, *fwd, *inv)
-    return y.reshape(c, t, hop)
+    return y.reshape(c, t, hop).astype(x2d.dtype)
 
 
 # -----------------------------------------------------------------------------
@@ -1363,5 +1366,8 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
             bytes_accessed=4 * c * (2 * t * hop + 4 * p * (n // 2)),
             transcendentals=0),
     )(x4, x4, pv4, r4_re, r4_im, h4_re, h4_im, *fwd, *inv)
-    return (y.reshape(c, t, hop),
-            nr_re.reshape(c, p, n // 2), nr_im.reshape(c, p, n // 2))
+    # Preserve the caller's dtypes: the kernel computes in f32; a bf16/f16
+    # state carried through lax.scan must come back in its own dtype.
+    return (y.reshape(c, t, hop).astype(x2d.dtype),
+            nr_re.reshape(c, p, n // 2).astype(ring_re.dtype),
+            nr_im.reshape(c, p, n // 2).astype(ring_im.dtype))

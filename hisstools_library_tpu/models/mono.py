@@ -339,7 +339,7 @@ def _make_offline_tail(scheme: PartitionScheme, ir, dtype, backend):
     if ir.shape[-1] == 0:
         return None, 0
     from .offline import choose_fft_size
-    nprime = choose_fft_size(ir.shape[-1], ir.shape[-1])
+    nprime = choose_fft_size(ir.shape[-1])
     shift = (nprime >> 1) - scheme.latency
     if shift < 0:
         return None, 0

@@ -25,7 +25,7 @@ from ..core.types import Split
 from . import partitioned as part
 
 
-def choose_fft_size(ir_len: int, sig_len: int) -> int:
+def choose_fft_size(ir_len: int) -> int:
     """Pick the uniform FFT size balancing FFT cost (~sqrt(N) per sample on the
     matmul/Pallas path) against partition-MAC cost (~IR/N per sample), bounded
     to the engine's 2^5..2^20 range.
@@ -45,7 +45,7 @@ class FastFIR:
                  backend: Optional[str] = None):
         ir = np.asarray(ir)
         self.ir_len = ir.shape[-1]
-        self.fft_size = fft_size or choose_fft_size(self.ir_len, self.ir_len)
+        self.fft_size = fft_size or choose_fft_size(self.ir_len)
         self.hop = self.fft_size >> 1
         self.spectra = part.impulse_spectra(ir, self.fft_size, 0, 0, dtype, backend)
         self.backend = backend

@@ -107,6 +107,12 @@ class TimeDomainConvolve:
         t = taps.shape[-1]
         if t == 0:
             return state, jnp.zeros_like(x)
+        if t > 1 and state.shape[-1] < t - 1:
+            # A state built before set() installed longer taps would silently
+            # shorten the output (tail slice under-fills the history window).
+            raise ValueError(f"state holds {state.shape[-1]} samples but "
+                             f"{t} taps need {t - 1}; rebuild with init_state()"
+                             " after set()")
         tail = state[..., -(t - 1):] if t > 1 else state[..., :0]
         ext = jnp.concatenate([tail, x], axis=-1)
         y = _causal_fir(ext, taps)[..., (t - 1):]

@@ -150,6 +150,11 @@ def smooth(x, kernel, width_lo: float, width_hi: float,
     # Ends detection (:92-103)
     ends = _Ends.NonZero
     mx = kernel.max()
+    if mx <= 0.0:
+        # A kernel with no positive mass smooths everything to (at most)
+        # zero and the end-ratio test below would be 0/0 — reject instead of
+        # letting nan comparisons pick the classification.
+        raise ValueError("smoothing kernel must have a positive maximum")
     t1 = kernel[0] / mx
     t2 = kernel[-1] / mx
     eps = np.finfo(np.float64).eps

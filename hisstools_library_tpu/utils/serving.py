@@ -136,7 +136,10 @@ class StreamingServer:
         with self._swap.attempt() as handle:
             prepared = handle.get()
             if prepared is None:
-                return jnp.zeros_like(block), False
+                # Silence in the SERVER's dtype: live blocks come back in
+                # self.dtype, so locked blocks must not flip the stream's
+                # dtype just because the caller fed e.g. float64 numpy.
+                return jnp.zeros(block.shape, self.dtype), False
             if prepared.version != self._state_version:
                 # First block after a swap (or first block ever): fresh state.
                 self._state = mono.init_stream_state(

@@ -501,3 +501,35 @@ def test_fastfir_stream_chain_matches_step_scan(rng, mode):
     got = np.concatenate(outs + [np.asarray(yk).reshape(c, -1)], axis=-1)
     assert snr_db(y_ref, got) > (110.0 if mode == "highest" else 95.0)
     assert nr.shape == (c, P, n // 2)
+
+
+def test_process_block_chain_path_preserves_dtype(rng):
+    """The fastfir_chain_stream fast path must hand back the ring state and
+    output in the CALLER's dtype (a bf16 state carried through lax.scan would
+    otherwise hit a carry dtype mismatch on the second step)."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.core.types import Split as S
+    from hisstools_library_tpu.models import partitioned as part
+
+    n, hop, c = 1 << 14, 1 << 13, 1
+    ir = (rng.standard_normal(3 * hop) * 0.1).astype(np.float32)
+    spec = part.impulse_spectra(ir[None], n, 0, 0)
+    P = spec.shape[-2]
+    spec_b = S(spec.re[0].astype(jnp.bfloat16), spec.im[0].astype(jnp.bfloat16))
+    st = part.PartitionedState(
+        prev=jnp.zeros((c, hop), jnp.bfloat16),
+        ring=S(jnp.zeros((c, P, n // 2), jnp.bfloat16),
+               jnp.zeros((c, P, n // 2), jnp.bfloat16)),
+        pos=jnp.zeros((), jnp.int32))
+    x = jnp.asarray(rng.standard_normal((c, 4 * hop)), jnp.bfloat16)
+    st2, y = part.PartitionedConvolve.process_block(spec_b, st, x,
+                                                    backend="pallas")
+    assert y.dtype == jnp.bfloat16
+    assert st2.ring.re.dtype == jnp.bfloat16
+    # the state structure is scan-carry compatible with the input state
+    import jax
+    assert (jax.tree_util.tree_structure(st)
+            == jax.tree_util.tree_structure(st2))
+    st3, y2 = part.PartitionedConvolve.process_block(spec_b, st2, x,
+                                                     backend="pallas")
+    assert y2.dtype == jnp.bfloat16
