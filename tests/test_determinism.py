@@ -80,3 +80,40 @@ def test_checkpoint_resume_bitexact(rng):
     _, y_b1 = f(ir, s, jnp.asarray(x[:, blk * 4:]))
     _, y_b2 = f(ir, restored, jnp.asarray(x[:, blk * 4:]))
     assert _bitwise_equal(y_b1, y_b2)
+
+
+def test_long_stream_no_snr_drift(rng):
+    """Late-stream SNR equals early-stream SNR after hundreds of hops
+    (SURVEY §7 'hard part': long IRs accumulating f32 error across thousands
+    of partition firings) — the functional state has no error feedback, so
+    accuracy is stationary. Probed at 1200 hops (~135 dB both ends); pinned
+    here at 400 hops."""
+    import jax
+    from hisstools_library_tpu.models import mono
+    from hisstools_library_tpu.models.mono import PartitionScheme
+
+    scheme = PartitionScheme((32, 128, 512), zero_latency=True)
+    ir = (rng.standard_normal(2000) *
+          np.exp(-np.arange(2000) / 600)).astype(np.float32)
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float32, offline_tail=False)
+    st = mono.init_state(scheme, mir, (), jnp.float32)
+    hop, T = 256, 400
+    x = rng.standard_normal(T * hop).astype(np.float32)
+    step = jax.jit(lambda s, b: mono.process(mir, s, b))
+    first = last = None
+    for j in range(T):
+        st, y = step(st, jnp.asarray(x[j * hop:(j + 1) * hop]))
+        if j == 4:
+            first = (j, np.asarray(y))
+        if j == T - 1:
+            last = (j, np.asarray(y))
+    ref = np.convolve(x.astype(np.float64), ir.astype(np.float64))
+
+    def snr(j, y):
+        r = ref[j * hop:(j + 1) * hop]
+        d = y.astype(np.float64) - r
+        return 10 * np.log10((r * r).sum() / max((d * d).sum(), 1e-300))
+
+    s_first, s_last = snr(*first), snr(*last)
+    assert s_first > 120.0 and s_last > 120.0
+    assert abs(s_first - s_last) < 15.0  # stationary accuracy, no drift
