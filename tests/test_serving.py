@@ -144,3 +144,23 @@ def test_serving_capacity_growth(rng):
     x = rng.standard_normal((2, 128)).astype(np.float32)
     y, live = srv.process(x)
     assert live and np.isfinite(np.asarray(y)).all()
+
+
+def test_locked_block_silence_keeps_server_dtype(rng):
+    """Blocks emitted while the loader holds the lock are silence in the
+    SERVER's dtype — a float64 numpy callback block must not flip the output
+    stream's dtype on swap boundaries."""
+    import jax.numpy as jnp
+    srv = make_server()
+    srv.set_ir(rng.standard_normal((2, 64)).astype(np.float32))
+    blk64 = np.zeros((2, 64), np.float64)
+    y_live, live = srv.process(blk64[:, :64])
+    assert live and y_live.dtype == jnp.float32
+    h = srv._swap.access()  # loader holds the cell -> audio path sees locked
+    try:
+        y_locked, live = srv.process(blk64[:, :64])
+    finally:
+        h.release()
+    assert not live
+    assert y_locked.dtype == jnp.float32
+    assert np.all(np.asarray(y_locked) == 0.0)
