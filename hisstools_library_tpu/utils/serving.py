@@ -132,13 +132,13 @@ class StreamingServer:
         set->reset) once the swap completes. The returned array is a device
         array whose computation is dispatched but not synced — the callback
         never blocks on the device either."""
-        block = jnp.asarray(block)
+        # Convert at the edge, as the reference's double overload does
+        # (Convolver.cpp:156-183): the engine runs in self.dtype regardless
+        # of what the callback feeds (float64 numpy is numpy's default).
+        block = jnp.asarray(block, self.dtype)
         with self._swap.attempt() as handle:
             prepared = handle.get()
             if prepared is None:
-                # Silence in the SERVER's dtype: live blocks come back in
-                # self.dtype, so locked blocks must not flip the stream's
-                # dtype just because the caller fed e.g. float64 numpy.
                 return jnp.zeros(block.shape, self.dtype), False
             if prepared.version != self._state_version:
                 # First block after a swap (or first block ever): fresh state.
