@@ -29,6 +29,15 @@ spectral binary ops (SpectralProcessor.hpp:643), ``0.5/N`` in ``change_phase``
 Backends: ``"xla"`` lowers to the XLA FFT HLO; ``"matmul"`` evaluates the transform
 as (four-step) DFT matrix multiplications on the MXU — the fast path for the batched
 small/mid sizes that dominate partitioned convolution.
+
+Precision / float64: the reference offers f32 and f64 overloads
+(HISSTools_FFT.h:87-369). TPUs have no native f64 — on TPU-like platforms this
+API serves f32 (the pallas backend's "highest" MXU mode reaches ~134 dB, within
+~6 dB of what an f64-input/f32-twiddle pipeline could deliver). float64 arrays
+are routed explicitly: the pallas backend rejects them with a TypeError
+(convert with ``.astype(jnp.float32)`` or pass ``backend="xla"``), while the
+xla/matmul backends accept them where the platform does (CPU with
+``jax_enable_x64`` — the configuration the test-suite oracles use).
 """
 
 from __future__ import annotations
@@ -79,6 +88,17 @@ def _resolve(backend: Optional[str]) -> str:
                         or "tpu" in platform or "axon" in platform) else "xla"
 
 
+def _check_pallas_dtype(resolved: str, dtype) -> None:
+    """Route f64 requests explicitly (the reference has true f64 overloads,
+    HISSTools_FFT.h:87-369; TPU does not): the pallas kernels are f32-only, so
+    fail with guidance instead of a deep Mosaic lowering error."""
+    if resolved == "pallas" and dtype == jnp.float64:
+        raise TypeError(
+            "the pallas FFT backend is float32-only (TPU has no native f64); "
+            "cast with .astype(jnp.float32) — mode='highest' holds ~134 dB — "
+            "or pass backend='xla'/'matmul' on an f64-capable platform")
+
+
 def _log2_size(n: int) -> int:
     if n <= 0:
         # bit_length()-1 would be -1 and `1 << -1` raises a bare
@@ -105,6 +125,7 @@ def fft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> Tuple[ja
         from . import matmul_fft
         return matmul_fft.fft_split(re, im, inverse=False)
     if resolved == "pallas":
+        _check_pallas_dtype(resolved, re.dtype)
         from . import pallas_fft
         return pallas_fft.fft_split(re, im, inverse=False)
     z = jnp.fft.fft(jax.lax.complex(re, im), axis=-1)
@@ -139,6 +160,7 @@ def rfft(x: jax.Array, backend: Optional[str] = None) -> Tuple[jax.Array, jax.Ar
         from . import matmul_fft
         return matmul_fft.rfft_packed(x)
     if resolved == "pallas":
+        _check_pallas_dtype(resolved, x.dtype)
         from . import pallas_fft
         return pallas_fft.rfft_packed(x)
     z = jnp.fft.rfft(x, axis=-1)  # N/2 + 1 bins
@@ -179,6 +201,7 @@ def rifft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> jax.Ar
         from . import matmul_fft
         return matmul_fft.rifft_packed(re, im)
     if resolved == "pallas":
+        _check_pallas_dtype(resolved, re.dtype)
         from . import pallas_fft
         return pallas_fft.rifft_packed(re, im)
     dtype = re.dtype

@@ -36,15 +36,21 @@ def stat_max(x):
 def stat_min_position(x):
     """Index of the minimum. The reference returns double (Statistics.hpp:79);
     here the exact integer index is returned — an f32 cast would lose exactness
-    above 2^24 and TPU has no native f64. Cast at the call site if needed."""
+    above 2^24 and TPU has no native f64. Cast at the call site if needed.
+    Empty input returns -1 (same integer dtype as the non-empty case)."""
     x = _asf(x)
-    return jnp.argmin(x, axis=-1) if x.shape[-1] else jnp.asarray(-jnp.inf)
+    if x.shape[-1]:
+        return jnp.argmin(x, axis=-1)
+    return jnp.full(x.shape[:-1], -1, dtype=jnp.argmin(jnp.zeros(1)).dtype)
 
 
 def stat_max_position(x):
-    """Index of the maximum (exact integer; see :func:`stat_min_position`)."""
+    """Index of the maximum (exact integer, -1 when empty; see
+    :func:`stat_min_position`)."""
     x = _asf(x)
-    return jnp.argmax(x, axis=-1) if x.shape[-1] else jnp.asarray(-jnp.inf)
+    if x.shape[-1]:
+        return jnp.argmax(x, axis=-1)
+    return jnp.full(x.shape[:-1], -1, dtype=jnp.argmin(jnp.zeros(1)).dtype)
 
 
 def _count_dtype(dtype):

@@ -53,11 +53,27 @@ def _izero(x2: float) -> float:
     return bessel
 
 
-def _izero_vec(x2: jax.Array) -> jax.Array:
-    """Vectorised I0 power series with a fixed trip count adequate for beta <= ~24."""
+def _izero_terms(x2_max: float) -> int:
+    """Trip count the eps-terminated series needs at its largest argument.
+
+    The reference iterates each element to machine epsilon
+    (WindowFunctions.hpp:193-207); the vectorised kernel instead derives the
+    count ONCE from the static maximum argument (terms only shrink for smaller
+    x2), so any beta is exact — not just beta <= ~24 as the old fixed-60 loop.
+    """
+    term = 1.0
+    i = 1
+    while term > np.finfo(np.float64).eps:
+        term = term * x2_max * (1.0 / (4.0 * (i * i)))
+        i += 1
+    return max(i, 60)
+
+
+def _izero_vec(x2: jax.Array, n_terms: int = 60) -> jax.Array:
+    """Vectorised I0 power series; ``n_terms`` from :func:`_izero_terms`."""
     term = jnp.ones_like(x2)
     bessel = jnp.ones_like(x2)
-    for i in range(1, 60):
+    for i in range(1, n_terms):
         term = term * x2 * (1.0 / (4.0 * float(i * i)))
         bessel = bessel + term
     return bessel
@@ -120,9 +136,10 @@ def _shape_fn(name: str, p: Params) -> Callable[[jax.Array], jax.Array]:
         # izero((1 - x^2) beta^2) / izero(beta^2) with x in [-1, 1]
         beta = p.a0
         norm = 1.0 / _izero(beta * beta)
+        n_terms = _izero_terms(beta * beta)
         def kaiser(x):
             u = 2.0 * x - 1.0
-            return _izero_vec((1.0 - u * u) * (beta * beta)) * norm
+            return _izero_vec((1.0 - u * u) * (beta * beta), n_terms) * norm
         return kaiser
     if name == "cosine_2_term":
         return lambda x: _cosine_sum(x, (p.a0, 1.0 - p.a0, 0, 0, 0))

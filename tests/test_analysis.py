@@ -105,6 +105,20 @@ def test_statistics_against_numpy(rng):
     assert abs(float(st.stat_product(jnp.asarray(x[:10]))) - np.prod(x[:10])) < 1e-9
 
 
+def test_position_empty_input_integer_dtype():
+    # Round-2 weakness: empty input returned float -inf while non-empty returned
+    # an integer index. Now both are the same integer dtype (-1 when empty).
+    empty = jnp.zeros((0,))
+    full = jnp.asarray([3.0, 1.0, 2.0])
+    for fn in (st.stat_min_position, st.stat_max_position):
+        e, f = fn(empty), fn(full)
+        assert jnp.issubdtype(e.dtype, jnp.integer)
+        assert e.dtype == f.dtype
+        assert int(e) == -1
+    assert int(st.stat_min_position(full)) == 1
+    assert int(st.stat_max_position(full)) == 0
+
+
 def test_shape_statistics(rng):
     x = np.abs(rng.standard_normal(128)) + 0.01
     xj = jnp.asarray(x)

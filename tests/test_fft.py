@@ -176,6 +176,20 @@ def test_float64_path(rng):
     assert snr_db(2.0 * n * x, y) > 200.0
 
 
+def test_float64_rejected_by_pallas_backend(rng):
+    # f64 requests are routed explicitly: the pallas kernels are f32-only
+    # (TPU has no native double), so the API fails fast with guidance instead
+    # of a deep Mosaic lowering error.
+    x = jnp.asarray(rng.standard_normal(256).astype(np.float64))
+    with pytest.raises(TypeError, match="float32-only"):
+        fft.rfft(x, backend="pallas")
+    re, im = fft.rfft(x, backend="xla")
+    with pytest.raises(TypeError, match="float32-only"):
+        fft.rifft(re, im, backend="pallas")
+    with pytest.raises(TypeError, match="float32-only"):
+        fft.fft(x, jnp.zeros_like(x), backend="pallas")
+
+
 # -----------------------------------------------------------------------------
 # Fused Pallas kernels (interpret mode on CPU; the TPU path is identical code)
 # -----------------------------------------------------------------------------

@@ -41,6 +41,20 @@ def test_kaiser_matches_scipy():
     assert np.abs(w - ref).max() < 1e-9
 
 
+@pytest.mark.parametrize("beta", [30.0, 40.0, 60.0])
+def test_kaiser_high_beta_matches_scipy(beta):
+    # Round-2 weakness: the fixed 60-term I0 series silently degraded above
+    # beta ~ 24. The term count is now derived from beta (reference iterates to
+    # epsilon per element, WindowFunctions.hpp:193-207).
+    N = 512
+    w = gen64("kaiser", N, params=Params(a0=beta))
+    ref = sw.kaiser(N + 1, beta, sym=True)
+    # Relative error: high-beta tails are ~1e-40, absolute comparison is vacuous.
+    assert np.abs(w - ref).max() / ref.max() < 1e-9
+    denom = np.maximum(np.abs(ref), 1e-300)
+    assert (np.abs(w - ref) / denom).max() < 1e-6
+
+
 def test_hamming_reference_alpha():
     # The reference deliberately uses 0.54 (not 25/46) — WindowFunctions.hpp:244-250.
     w = gen64("hamming", 100)
