@@ -184,18 +184,27 @@ class MonoIR:
     FFT size: offline processing replaces every section above the direct-FIR
     threshold with this single throughput-tuned engine, realigned by dropping
     ``tail_shift`` leading output samples. Streaming ignores them — the
-    latency-bounded sections remain the real-time path."""
+    latency-bounded sections remain the real-time path.
+
+    ``block0`` (optional) is the zero-delay partition for the block-collapsed
+    hop-aligned path: the packed spectrum, at the final section's FFT size, of
+    the IR taps every OTHER component (head + non-final sections) covers,
+    shifted by the scheme latency. :func:`process` uses it to run the whole
+    scheme as ONE uniform engine per block (see _process_block_collapsed);
+    sample-granular streaming (:func:`process_any`) never touches it."""
     head_taps: jax.Array
     spectra: Tuple[Split, ...]
     tail: Optional[Split] = None
     tail_shift: int = 0
+    block0: Optional[Split] = None
 
     def tree_flatten(self):
-        return (self.head_taps, self.spectra, self.tail), (self.tail_shift,)
+        return ((self.head_taps, self.spectra, self.tail, self.block0),
+                (self.tail_shift,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0])
+        return cls(children[0], children[1], children[2], aux[0], children[3])
 
 
 class MonoConvolve:
@@ -242,10 +251,12 @@ class MonoConvolve:
                 # capacity, and the error reports the truncation.
                 err = ConvolveError.MEM_ALLOC_TOO_SMALL
                 ir = ir[..., :self.max_length]
+        from ..utils import debug_stages
         self._tail_lazy = offline_tail is None
         # The host IR copy is only needed to build a lazy tail; released on
         # first process_offline so large banks don't pin 2x host memory.
         self._ir_host = ir if self._tail_lazy else None
+        self._ir_debug = ir if debug_stages.enabled() else None
         self._dtype = dtype
         self._backend = backend
         self.ir = prepare_ir(self.scheme, ir, self.max_length, dtype, backend,
@@ -292,8 +303,13 @@ class MonoConvolve:
             # full prepare_ir would redo every section rFFT for nothing.
             tail, shift = _make_offline_tail(self.scheme, self._ir_host,
                                              self._dtype, self._backend)
-            self.ir = MonoIR(self.ir.head_taps, self.ir.spectra, tail, shift)
+            self.ir = MonoIR(self.ir.head_taps, self.ir.spectra, tail, shift,
+                             self.ir.block0)
             self._ir_host = None  # release the host copy
+        if getattr(self, "_ir_debug", None) is not None:
+            from ..utils import debug_stages
+            debug_stages.maybe_report(self._ir_debug, x, None, backend,
+                                      "MonoConvolve.process_offline")
         return process_offline(self.ir, x, backend=backend)
 
 
@@ -327,7 +343,32 @@ def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
     # exist to bound streaming latency).
     tail, tail_shift = (_make_offline_tail(scheme, ir, dtype, backend)
                         if offline_tail else (None, 0))
-    return MonoIR(jnp.asarray(head, dtype), tuple(spectra), tail, tail_shift)
+    block0 = _block_lag0_spectra(scheme, ir, dtype, backend)
+    return MonoIR(jnp.asarray(head, dtype), tuple(spectra), tail, tail_shift,
+                  block0)
+
+
+def _block_lag0_spectra(scheme: PartitionScheme, ir, dtype,
+                        backend) -> Optional[Split]:
+    """Zero-delay partition for the block-collapsed hop-aligned path.
+
+    At block granularity B = largest hop, head + non-final sections sum to
+    ``conv(x, ir[0 : B - latency])`` delayed by the scheme latency — samples
+    the engine can compute from the SAME [prev | current] frame the final
+    section transforms each hop. One packed spectrum of those taps (latency-
+    shifted, FFT size 2B) therefore replaces every small engine: the final
+    section's ring MAC plus this lag-0 term IS the whole scheme (the
+    non-uniform sizes exist only to bound latency below a hop —
+    MonoConvolve.cpp:26-31; process_any keeps them for that)."""
+    b = scheme.sizes[-1] >> 1
+    cover = b - scheme.latency
+    if cover <= 0:
+        return None  # single-section scheme: nothing below the final section
+    ir = np.asarray(ir)
+    shifted = np.zeros(ir.shape[:-1] + (b,), np.float64)
+    take = min(cover, ir.shape[-1])
+    shifted[..., scheme.latency:scheme.latency + take] = ir[..., :take]
+    return part.impulse_spectra(shifted, 2 * b, 0, 0, dtype, backend)
 
 
 def _make_offline_tail(scheme: PartitionScheme, ir, dtype, backend):
@@ -414,7 +455,15 @@ def process_any(ir: MonoIR, state: MonoStreamState, x: jax.Array,
 
 def process(ir: MonoIR, state: MonoState, x: jax.Array,
             backend: Optional[str] = None) -> Tuple[MonoState, jax.Array]:
-    """Stream a block whose length is a multiple of the largest hop. Pure/jittable."""
+    """Stream a block whose length is a multiple of the largest hop. Pure/jittable.
+
+    With ``ir.block0`` present (any multi-section scheme) the whole scheme runs
+    as ONE uniform engine per block — see :func:`_process_block_collapsed`;
+    the per-section path below remains for single-section schemes and IRs
+    prepared before round 3."""
+    if (ir.block0 is not None and x.shape[-1] > 0
+            and x.shape[-1] % (ir.spectra[-1].shape[-1]) == 0):
+        return _process_block_collapsed(ir, state, x, backend)
     out = jnp.zeros_like(x)
     head_state = state.head
     if ir.head_taps.shape[-1]:
@@ -426,6 +475,57 @@ def process(ir: MonoIR, state: MonoState, x: jax.Array,
                                                         backend=backend)
         new_sections.append(sec_state)
         out = out + y
+    return MonoState(head_state, tuple(new_sections)), out
+
+
+def _refresh_aligned_section(spec: Split, tail: jax.Array,
+                             backend: Optional[str]) -> part.PartitionedState:
+    """Rebuild a non-final section's hop-aligned state from the last B input
+    samples. Valid because a section's whole state window fits one block:
+    its ring holds the newest P frame spectra, reaching back
+    (P-1)*h + N = cover + h = next_size/2 <= B samples (the scheme invariant
+    that each section's coverage fits the next section's hop). Slot layout is
+    oldest-first / pos = 0, newest frame (ending at the stream head) last —
+    identical to process_block's normalised ring."""
+    h = spec.shape[-1]
+    n = 2 * h
+    p = spec.shape[-2]
+    b = tail.shape[-1]
+    frames = jnp.stack(
+        [tail[..., b - (p - 1 - k) * h - n: b - (p - 1 - k) * h or None]
+         for k in range(p)], axis=-2)
+    re, im = fft_api.rfft(frames, backend=backend)
+    return part.PartitionedState(prev=tail[..., -h:], ring=Split(re, im),
+                                 pos=jnp.zeros((), jnp.int32))
+
+
+def _process_block_collapsed(ir: MonoIR, state: MonoState, x: jax.Array,
+                             backend: Optional[str]
+                             ) -> Tuple[MonoState, jax.Array]:
+    """Hop-aligned processing of the WHOLE scheme as one uniform engine.
+
+    The final section's ring MAC (lags >= 1) plus the ``block0`` zero-delay
+    partition (lag 0 on the same frame spectra) equals the sum of every
+    section and the TD head — the multi-section structure is a *latency*
+    device (MonoConvolve.cpp:26-31), algebraically redundant once the caller
+    hands over full largest-hop blocks (which :func:`process` requires).
+    Non-final section states and the head tail are refreshed from the last
+    block so a later hand-off to the sample-granular path
+    (:func:`stream_state_from_aligned` -> :func:`process_any`) continues
+    exactly as if the per-section path had run."""
+    b = ir.spectra[-1].shape[-1]  # largest hop = final section's N/2
+    new_big, out = part.PartitionedConvolve.process_block(
+        ir.spectra[-1], state.sections[-1], x, backend=backend,
+        lag0=ir.block0)
+    tail = x[..., -b:]
+    head_state = state.head
+    if ir.head_taps.shape[-1]:
+        keep = state.head.shape[-1]
+        head_state = tail[..., -keep:]
+    new_sections = [
+        _refresh_aligned_section(spec, tail, backend)
+        for spec in ir.spectra[:-1]]
+    new_sections.append(new_big)
     return MonoState(head_state, tuple(new_sections)), out
 
 

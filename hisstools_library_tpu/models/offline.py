@@ -43,18 +43,26 @@ class FastFIR:
 
     def __init__(self, ir, fft_size: Optional[int] = None, dtype=jnp.float32,
                  backend: Optional[str] = None):
+        from ..utils import debug_stages
         ir = np.asarray(ir)
         self.ir_len = ir.shape[-1]
         self.fft_size = fft_size or choose_fft_size(self.ir_len)
         self.hop = self.fft_size >> 1
         self.spectra = part.impulse_spectra(ir, self.fft_size, 0, 0, dtype, backend)
         self.backend = backend
+        # Host IR copy kept only when per-stage debugging is on (the report
+        # needs the raw taps for its float64 oracles).
+        self._ir_debug = ir if debug_stages.enabled() else None
 
     def __call__(self, x: jax.Array, mac_backend: str = "auto") -> jax.Array:
         """conv(x, ir)[: len(x)] — the steady-state causal convolution.
 
         When jitting, wrap :meth:`apply` and pass ``self.spectra`` as an argument
         (a closure would bake the spectra into the program as constants)."""
+        if self._ir_debug is not None:
+            from ..utils import debug_stages
+            debug_stages.maybe_report(self._ir_debug, x, self.fft_size,
+                                      self.backend, "FastFIR")
         return self.apply(self.spectra, x, backend=self.backend,
                           mac_backend=mac_backend)
 

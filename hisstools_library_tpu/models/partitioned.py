@@ -420,7 +420,8 @@ class PartitionedConvolve:
     @staticmethod
     def process_block(spectra: Split, state: PartitionedState, x: jax.Array,
                       backend: Optional[str] = None,
-                      mac_backend: str = "auto"
+                      mac_backend: str = "auto",
+                      lag0: Optional[Split] = None
                       ) -> Tuple[PartitionedState, jax.Array]:
         """Advance the streaming engine by all of ``x``'s hops at once.
 
@@ -430,7 +431,14 @@ class PartitionedConvolve:
         the lag-MAC window (exactly the zero-pad rows of the offline path,
         but carrying real state), and one riFFT emits every hop. The returned
         state is slot-normalised (pos = 0) — an equivalent state under
-        :meth:`step`'s ``(pos - 1 - s) mod P`` slot mapping."""
+        :meth:`step`'s ``(pos - 1 - s) mod P`` slot mapping.
+
+        ``lag0``: optional (..., 1, K) packed spectrum multiplied with the
+        CURRENT hop's own spectrum and added to each hop's accumulation —
+        the zero-delay partition Y_t += X_t * lag0 that the standard engine
+        (one-hop delay, IR offset = hop) has no slot for. mono.process uses
+        it to collapse a whole non-uniform scheme into this single engine at
+        block granularity (see mono._process_block_collapsed)."""
         from ..fft import pallas_fft
 
         h = spectra.shape[-1]
@@ -465,7 +473,7 @@ class PartitionedConvolve:
         # emitting both the outputs and the slot-normalised new ring.
         lead_n = int(np.prod(lead)) if lead else 1
         if (backend == "pallas" and mac_backend in ("auto", "pallas")
-                and x.dtype != jnp.float64
+                and x.dtype != jnp.float64 and lag0 is None
                 and os.environ.get("HISSTOOLS_FASTFIR_CHAIN", "1") != "0"
                 and pallas_fft.fastfir_stream_feasible(n, p)):
             hr_b = jnp.broadcast_to(spectra.re, lead + (p, h)
@@ -526,6 +534,14 @@ class PartitionedConvolve:
             acc_re, acc_im = _lag_mac_dispatch(xp_re, xp_im, h_re, h_im, t,
                                                mac_backend)
             new_ring = Split(xp_re[..., -p:, :], xp_im[..., -p:, :])
+
+        if lag0 is not None:
+            # Zero-delay partition: each hop's own spectrum times lag0
+            # (a plain packed product — no window, so it lives outside the
+            # lag-MAC kernels and XLA fuses it into the accumulation).
+            prod = packed_mul(Split(xre, xim), lag0)
+            acc_re = acc_re + prod.re
+            acc_im = acc_im + prod.im
 
         scale = 1.0 / (4.0 * n)
         if fused_tail:  # stream_feasible covers the tail kernel's VMEM bound

@@ -125,6 +125,106 @@ def _chain_jit(sample_rate: float, regularization: float,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _frames_chain_jit(sample_rate: float, regularization: float,
+                      smooth_widths: Tuple[float, float], kernel_key: tuple,
+                      n_peaks: int, stft_size: int, stft_hop: int,
+                      config: pt.TrackerConfig, start_threshold: float,
+                      phase: Optional[float], backend: Optional[str]):
+    """The multi-frame config-5 chain as ONE device program.
+
+    Deconvolve -> mono -> (optional phase reshape) -> STFT -> per-frame
+    amplitude -> variable-width smooth (batched over frames) -> per-frame
+    peaks -> partial tracking via ``lax.scan`` of :func:`partial_tracker.process`
+    — the on-device analogue of HIRT's frame loop feeding
+    ``partial_tracker::process`` (reference PartialTracker.hpp:224-289 driven
+    per frame as in - Test/Peak_Tester/Peak_Tester/main.cpp:29-49). Nothing
+    leaves the device between stages; the tracker's greedy assignment loop
+    runs inside the scan."""
+    from ..ops import windows
+
+    kernel = np.asarray(kernel_key, np.float64)
+    win = np.asarray(windows.hann(stft_size - 1, dtype=jnp.float64))
+
+    def fn(measured, excitation):
+        h = ir_deconvolve(measured, excitation, regularization,
+                          backend=backend)
+        h_mono = jnp.mean(h, axis=0) if h.ndim > 1 else h
+        if phase is not None:
+            h_mono = sp.change_phase(h_mono, phase, backend=backend)
+
+        from ..ops import stft as stft_mod
+        S = stft_mod.stft(h_mono, win, stft_size, stft_hop, backend=backend)
+        amp = jnp.sqrt(S.re * S.re + S.im * S.im) * 0.5     # (F, K)
+        amp = amp.at[..., 0].set(jnp.abs(S.re[..., 0]) * 0.5)
+        smoothed = smoothing.smooth(amp, kernel, smooth_widths[0],
+                                    smooth_widths[1], symmetric=True,
+                                    edges=smoothing.EdgeMode.Extend,
+                                    backend=backend)
+        freqs, amps = find_peaks(smoothed, n_peaks,
+                                 bin_hz=sample_rate / stft_size)  # (F, P)
+        n_valid = jnp.sum(amps > 0.0, axis=-1)                    # (F,)
+
+        st0 = pt.TrackerState.init(config.max_tracks, freqs.dtype)
+
+        def step(st, frame):
+            f, a, nv = frame
+            st, chg = pt.process(config, st, f, a, nv, start_threshold)
+            return st, (st.freq, st.amp, st.state)
+
+        _, (tf, ta, ts) = jax.lax.scan(step, st0, (freqs, amps, n_valid))
+        return h_mono, smoothed, freqs, amps, tf, ta, ts
+
+    return jax.jit(fn)
+
+
+@dataclasses.dataclass
+class IRFramesResult:
+    impulse: np.ndarray          # deconvolved mono IR (time domain)
+    smoothed_amp: np.ndarray     # (frames, bins) smoothed amplitude spectra
+    peak_freqs: np.ndarray       # (frames, n_peaks) Hz
+    peak_amps: np.ndarray        # (frames, n_peaks)
+    track_freqs: np.ndarray      # (frames, n_tracks) Hz per tracked partial
+    track_amps: np.ndarray       # (frames, n_tracks)
+    track_states: np.ndarray     # (frames, n_tracks) OFF/START/CONTINUE/SWITCH
+
+
+def run_ir_pipeline_frames(measured: jax.Array, excitation: jax.Array,
+                           sample_rate: float = 48000.0,
+                           regularization: float = 1e-4,
+                           smooth_widths: Tuple[float, float] = (1.0, 63.0),
+                           smooth_kernel=None,
+                           n_peaks: int = 16,
+                           n_tracks: Optional[int] = None,
+                           stft_size: int = 1024,
+                           stft_hop: int = 512,
+                           tracker_config: Optional[pt.TrackerConfig] = None,
+                           start_threshold: float = 0.0,
+                           phase: Optional[float] = None,
+                           backend: Optional[str] = None) -> IRFramesResult:
+    """Config-5 pipeline over STFT frames with on-device partial tracking.
+
+    Unlike :func:`run_ir_pipeline` (single whole-IR frame, host tracker), the
+    whole multi-frame chain — deconvolution, per-frame smoothing/peaks and the
+    sinusoidal tracking scan — is one jitted device program; only the final
+    results transfer to the host."""
+    from ..ops import windows
+
+    if smooth_kernel is None:
+        smooth_kernel = np.asarray(windows.hann(127, dtype=jnp.float64))[63:]
+    if tracker_config is None:
+        tracker_config = pt.TrackerConfig(
+            max_peaks=n_peaks, max_tracks=n_tracks or n_peaks)
+    fn = _frames_chain_jit(
+        float(sample_rate), float(regularization),
+        (float(smooth_widths[0]), float(smooth_widths[1])),
+        tuple(np.asarray(smooth_kernel, np.float64).tolist()),
+        int(n_peaks), int(stft_size), int(stft_hop), tracker_config,
+        float(start_threshold), phase, backend)
+    h, sm, f, a, tf, ta, ts = jax.device_get(fn(measured, excitation))
+    return IRFramesResult(h, sm, f, a, tf, ta, ts)
+
+
 @dataclasses.dataclass
 class IRPipelineResult:
     impulse: np.ndarray          # deconvolved mono IR (time domain)

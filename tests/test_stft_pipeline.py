@@ -124,6 +124,42 @@ def test_full_pipeline_runs(rng):
     assert res.tracker_state.freq.shape == (8,)
 
 
+def test_frames_pipeline_tracks_partials(rng):
+    """Multi-frame config-5 chain: deconvolve -> STFT -> per-frame smooth /
+    peaks -> on-device tracking scan. A 3-mode decaying IR must produce
+    tracks near the mode frequencies that persist across frames."""
+    import hisstools_library_tpu.models.partial_tracker as pt_mod
+    L = 1 << 14
+    fs = 48000.0
+    exc = rng.standard_normal(L)
+    t = np.arange(2048)
+    modes = (1000.0, 5000.0, 12000.0)
+    h_true = sum(np.sin(2 * np.pi * f * t / fs) * np.exp(-t / 800.0)
+                 for f in modes)
+    measured = np.stack([np.convolve(exc, h_true) for _ in range(2)])
+    res = pipeline.run_ir_pipeline_frames(
+        jnp.asarray(measured, jnp.float32), jnp.asarray(exc, jnp.float32),
+        sample_rate=fs, n_peaks=8, regularization=1e-9,
+        stft_size=1024, stft_hop=512)
+    frames = res.track_freqs.shape[0]
+    assert frames > 4
+    assert res.track_states.shape == res.track_freqs.shape
+    # impulse parity with the single-frame pipeline's deconvolution
+    ref = pipeline.run_ir_pipeline(jnp.asarray(measured, jnp.float32),
+                                   jnp.asarray(exc, jnp.float32),
+                                   regularization=1e-9, n_peaks=8)
+    assert snr_db(ref.impulse, res.impulse) > 80
+    # early frames (IR still ringing) must track each mode within a bin
+    early = res.track_freqs[:4]
+    early_active = res.track_states[:4] != pt_mod.OFF
+    for f in modes:
+        near = np.abs(early - f) < fs / 1024
+        assert np.any(near & early_active), f
+    # pads must not start 0 Hz tracks (same property as the 1-frame path)
+    assert not np.any((res.track_states != pt_mod.OFF)
+                      & (res.track_freqs == 0.0))
+
+
 def test_pipeline_with_phase_reshape(rng):
     L = 2048
     exc = rng.standard_normal(L)

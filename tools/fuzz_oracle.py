@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--snr", type=float, default=85.0)
     ap.add_argument("--tpu", action="store_true",
                     help="fuzz on the default (TPU) backend instead of CPU")
+    ap.add_argument("--stages", action="store_true",
+                    help="on failure, print a per-stage SNR report "
+                         "(utils.debug_stages) to localise the stage that "
+                         "lost accuracy")
     args = ap.parse_args(argv)
 
     import jax
@@ -49,7 +53,7 @@ def main(argv=None):
     n_cases = 0
     failures = []
 
-    def check(tag, ref, test, cfg):
+    def check(tag, ref, test, cfg, raw=None):
         nonlocal n_cases
         n_cases += 1
         ref = np.asarray(ref, np.float64)
@@ -60,6 +64,12 @@ def main(argv=None):
         print(f"[{status}] {tag} SNR {snr:.1f} dB {cfg}", flush=True)
         if snr <= args.snr:
             failures.append((tag, cfg, snr))
+            if args.stages and raw is not None:
+                from hisstools_library_tpu.utils import debug_stages
+                ir_raw, x_raw = raw
+                rep = debug_stages.stage_report(ir_raw, x_raw,
+                                                backend="pallas")
+                print(debug_stages.format_report(rep), flush=True)
 
     while time.time() < deadline:
         c = int(rng.integers(1, 5))
@@ -79,7 +89,7 @@ def main(argv=None):
             nfft = 1 << log2n
             cfg = f"fast_fir c={c} L={L} ir={irl} N=2^{log2n}"
             y = fast_fir(jnp.asarray(x), ir, fft_size=nfft, backend="pallas")
-            check("fast_fir", ref, y, cfg)
+            check("fast_fir", ref, y, cfg, raw=(ir, x))
         elif pick == 1:
             # random valid ascending scheme
             base = int(rng.integers(5, 9))
@@ -93,7 +103,7 @@ def main(argv=None):
             ref_l = np.concatenate(
                 [np.zeros((c, lat)), ref[:, :L - lat]], axis=-1)
             cfg = f"scheme {sizes} zl={zl} c={c} L={L} ir={irl}"
-            check("scheme_offline", ref_l, y, cfg)
+            check("scheme_offline", ref_l, y, cfg, raw=(ir, x))
         elif pick == 3 and not args.tpu:
             # Sharded offline on a random virtual-mesh factorisation.
             from hisstools_library_tpu.parallel import (make_mesh,
@@ -163,7 +173,7 @@ def main(argv=None):
                                          ir[i].astype(np.float64))[:Ls]
                              for i in range(c)])
             cfg = f"stream c={c} Ls={Ls} ir={irl} cut={cut}"
-            check("streaming", refs, y, cfg)
+            check("streaming", refs, y, cfg, raw=(ir, xs))
 
     print(f"\n{n_cases} cases, {len(failures)} failures", flush=True)
     if failures:

@@ -246,6 +246,29 @@ def main(argv=None):
         check("scheme offline tail end-to-end", s > args.snr - 10,
               f"SNR {s:.1f} dB")
 
+        # Hop-aligned streaming through the block-collapsed scheme path
+        # (round-3: the whole scheme as one uniform engine + lag-0 partition).
+        st = mono.init_state(scheme, prep, batch_shape=(4,))
+        blk = scheme.sizes[-1] >> 1
+        st, ya = mono.process(prep, st, jnp.asarray(x1[:, :8 * blk]),
+                              backend="pallas")
+        _, yb = mono.process(prep, st, jnp.asarray(x1[:, 8 * blk:16 * blk]),
+                             backend="pallas")
+        sync(yb)
+        ystream = np.concatenate([np.asarray(ya), np.asarray(yb)], axis=-1)
+        s = snr_db(ref[:, :16 * blk], ystream)
+        check("collapsed scheme streaming (state carry)", s > args.snr - 10,
+              f"SNR {s:.1f} dB")
+
+        # Per-stage SNR report on hardware (utils.debug_stages): every stage
+        # of the uniform chain must individually clear the floor.
+        from hisstools_library_tpu.utils import debug_stages
+        rep = debug_stages.stage_report(ir1[:1], jnp.asarray(x1[:1]),
+                                        backend="pallas")
+        worst = min(s_.snr_db for s_ in rep)
+        detail = "; ".join(f"{s_.stage} {s_.snr_db:.0f}" for s_ in rep)
+        check("per-stage debug report", worst > args.snr - 10, detail)
+
     print(f"\n{len(FAILURES)} failures; {time.time() - t0:.0f}s total",
           flush=True)
     if FAILURES:
