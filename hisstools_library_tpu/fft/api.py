@@ -112,6 +112,60 @@ def _log2_size(n: int) -> int:
     return log2n
 
 
+# Single-chip execution envelope, measured on a real TPU v5e with
+# tools/fft_sweep.py (round 3): 2^20..2^25 execute (2^25: 898 ms roundtrip at
+# 132 dB); 2^26..2^28 abort inside the TPU compiler (oversized temporaries in
+# the staged four-step). The reference supports setups to 2^28
+# (HISSTools_FFT/HISSTools_FFT.h:87-98) — above the envelope the API hands the
+# transform to the distributed four-step (parallel/fft_sharded.py) when more
+# than one device is available, and otherwise raises with guidance instead of
+# surfacing an opaque remote-compiler abort.
+MAX_SINGLE_CHIP_LOG2 = 25
+
+
+def _on_tpu() -> bool:
+    name = jax.default_backend()
+    if name == "cpu":
+        return False
+    platform = jax.devices()[0].platform
+    return ("tpu" in name or "axon" in name or "tpu" in platform
+            or "axon" in platform)
+
+
+def _shard_large_real(n: int, ndim: int):
+    """For a too-big-for-one-chip real transform on TPU: an all-device mesh to
+    hand off to rfft_sharded/rifft_sharded, or raise the documented envelope
+    error. Returns None when the size is within the envelope / not on TPU."""
+    if n <= (1 << MAX_SINGLE_CHIP_LOG2) or not _on_tpu():
+        return None
+    from ..parallel.fft_sharded import real_sharded_eligible
+    from ..parallel.mesh import make_mesh
+    d = len(jax.devices())
+    if d > 1 and ndim == 1 and real_sharded_eligible(n, d):
+        return make_mesh(channel=1, block=d)
+    raise ValueError(
+        f"FFT size {n} exceeds the single-chip envelope (2^{MAX_SINGLE_CHIP_LOG2},"
+        f" measured: larger sizes abort the TPU compiler) and no multi-device"
+        f" handoff applies here ({d} device(s), ndim={ndim}; the automatic"
+        f" handoff needs a 1-D signal and a power-of-two device count). Use"
+        f" parallel.rfft_sharded/rifft_sharded over a mesh explicitly.")
+
+
+def _shard_large_complex(n: int, ndim: int):
+    if n <= (1 << MAX_SINGLE_CHIP_LOG2) or not _on_tpu():
+        return None
+    from ..parallel.fft_sharded import sharded_eligible
+    from ..parallel.mesh import make_mesh
+    d = len(jax.devices())
+    if d > 1 and ndim == 1 and sharded_eligible(n, d):
+        return make_mesh(channel=1, block=d)
+    raise ValueError(
+        f"FFT size {n} exceeds the single-chip envelope (2^{MAX_SINGLE_CHIP_LOG2},"
+        f" measured: larger sizes abort the TPU compiler) and no multi-device"
+        f" handoff applies here ({d} device(s), ndim={ndim}). Use"
+        f" parallel.fft_sharded over a mesh explicitly.")
+
+
 # -----------------------------------------------------------------------------
 # Complex transforms (split layout, unscaled like the reference)
 # -----------------------------------------------------------------------------
@@ -121,6 +175,11 @@ def fft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> Tuple[ja
     n = re.shape[-1]
     _log2_size(n)
     resolved = _resolve(backend)
+    if resolved in ("matmul", "pallas"):
+        mesh = _shard_large_complex(n, re.ndim)
+        if mesh is not None:
+            from ..parallel.fft_sharded import fft_sharded
+            return fft_sharded(mesh, re, im)
     if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.fft_split(re, im, inverse=False)
@@ -156,6 +215,11 @@ def rfft(x: jax.Array, backend: Optional[str] = None) -> Tuple[jax.Array, jax.Ar
     if n == 1:
         raise ValueError("rfft requires N >= 2")
     resolved = _resolve(backend)
+    if resolved in ("matmul", "pallas"):
+        mesh = _shard_large_real(n, x.ndim)
+        if mesh is not None:
+            from ..parallel.fft_sharded import rfft_sharded
+            return rfft_sharded(mesh, x)
     if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.rfft_packed(x)
@@ -197,6 +261,11 @@ def rifft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> jax.Ar
     n = nbins * 2
     _log2_size(n)
     resolved = _resolve(backend)
+    if resolved in ("matmul", "pallas"):
+        mesh = _shard_large_real(n, re.ndim)
+        if mesh is not None:
+            from ..parallel.fft_sharded import rifft_sharded
+            return rifft_sharded(mesh, re, im)
     if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.rifft_packed(re, im)

@@ -462,6 +462,11 @@ def rfft_packed(x: jax.Array, interpret: bool | None = None,
                 mode: str | None = None) -> Tuple[jax.Array, jax.Array]:
     """Real FFT -> packed N/2 bins (x2 scale, Nyquist in im[0]), fully fused."""
     n = x.shape[-1]
+    if small_real_eligible(n) and x.dtype != jnp.float64:
+        y = _rfft_small(x, _interpret_default() if interpret is None
+                        else interpret, mode or _MODE)
+        if y is not None:
+            return y
     if not real_eligible(n) or x.dtype == jnp.float64:
         return matmul_fft.rfft_packed(x, core=fft_split)
     if interpret is None:
@@ -515,6 +520,11 @@ def rifft_packed(re: jax.Array, im: jax.Array, interpret: bool | None = None,
     """Unscaled inverse of the packed layout: rifft(rfft(x)) == 2N x, fully fused."""
     nbins = re.shape[-1]
     n = nbins * 2
+    if small_real_eligible(n) and re.dtype != jnp.float64:
+        y = _rifft_small(re, im, _interpret_default() if interpret is None
+                         else interpret, mode or _MODE)
+        if y is not None:
+            return y
     if not real_eligible(n) or re.dtype == jnp.float64:
         return matmul_fft.rifft_packed(re, im, core=fft_split)
     if interpret is None:
@@ -894,6 +904,203 @@ def fft_split(re: jax.Array, im: jax.Array, inverse: bool = False,
     )(ar, ai, *tables)
     return (er.reshape(*lead, n).astype(re.dtype),
             ei.reshape(*lead, n).astype(re.dtype))
+
+
+# -----------------------------------------------------------------------------
+# Batched small-N dense kernels (N = 128..2048).
+#
+# Below MIN_REAL_SIZE the four-step split degenerates to 16..32-wide factor
+# matmuls that idle >= 75% of the MXU's 128 lanes, and the XLA dense path
+# (matmul_fft.rfft_packed over zipped halves) spends more time in the
+# real<->complex conversion passes and un-fused dots than in the DFT itself
+# (BASELINE config 1 measured ~17% of physical MXU). At these sizes the DENSE
+# transform is near FLOP-optimal given the 128-lane floor, and the packed
+# layout can be baked INTO the DFT tables so each direction is exactly TWO
+# real matmuls with the batch as the row dimension:
+#
+#   fwd:  pr = x @ Cr,  pi = x @ Ci'    Cr[t,k]     = 2 cos(2 pi t k / N)
+#                                       Ci'[t,k>=1] = -2 sin(2 pi t k / N)
+#                                       Ci'[t,0]    = 2 (-1)^t  (Nyquist lane)
+#   inv:  y = re @ Ar + im @ Ai         Ar[0,t] = 1,       Ar[k,t] = 2 cos
+#                                       Ai[0,t] = (-1)^t,  Ai[k,t] = -2 sin
+#
+# (expand y[t] = 2N x[t] over the packed half-spectrum: the DC/Nyquist
+# rows/columns ARE the packing special cases, so no fixup pass exists at
+# all). Contraction >= 128 and batch rows put every dot in good MXU shape;
+# tables are pre-stacked host-side for bf16x3 and DMA'd to scratch once per
+# column chunk (N = 2048's stacked tables exceed VMEM whole, so its output
+# columns chunk across the first grid dim). Serves the reference's
+# matched-size batched shape (- Test/FFT_Tester/FFT_Tester/main.cpp:143-199).
+# -----------------------------------------------------------------------------
+
+SMALL_MIN_REAL = 128
+
+
+@lru_cache(maxsize=32)
+def _small_fwd_tables(n: int):
+    t = np.arange(n, dtype=np.float64)[:, None]
+    k = np.arange(n // 2, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * t * k / n
+    cr = 2.0 * np.cos(ang)
+    ci = -2.0 * np.sin(ang)
+    ci[:, 0] = np.where((np.arange(n) % 2) == 0, 2.0, -2.0)
+    return cr.astype(np.float32), ci.astype(np.float32)
+
+
+@lru_cache(maxsize=32)
+def _small_inv_tables(n: int):
+    k = np.arange(n // 2, dtype=np.float64)[:, None]
+    t = np.arange(n, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    ar = 2.0 * np.cos(ang)
+    ai = -2.0 * np.sin(ang)
+    ar[0, :] = 1.0
+    ai[0, :] = np.where((np.arange(n) % 2) == 0, 1.0, -1.0)
+    return ar.astype(np.float32), ai.astype(np.float32)
+
+
+def _small_tables_dma(t1_hbm, t2_hbm, t1_s, t2_s, sems, ct: int):
+    """Both tables HBM -> scratch once, on the first grid step of the batch
+    dim. _small_plan only emits whole-table layouts (ct == all columns — the
+    chunked variant measured slower, ROADMAP dead end 6), so this is a whole-
+    ref copy: a column-sliced `.at[:, pl.ds(...)]` DMA would also violate
+    Mosaic's 128-lane slice tiling at N <= 256 (cols = 64: caught on hardware,
+    round 3 — interpret mode does not check it)."""
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        d1 = pltpu.make_async_copy(t1_hbm, t1_s, sems.at[0])
+        d2 = pltpu.make_async_copy(t2_hbm, t2_s, sems.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+
+def _small_fwd_kernel(x_ref, *refs, ct: int, mode: str):
+    t1_hbm, t2_hbm, pr_ref, pi_ref, t1_s, t2_s, sems = refs
+    _small_tables_dma(t1_hbm, t2_hbm, t1_s, t2_s, sems, ct)
+    dot = _Dot(mode)
+    a = dot.lhs(x_ref[...], 1)
+    pr_ref[...] = dot(a, _tag(dot, "R", t1_s[...]), _MM)
+    pi_ref[...] = dot(a, _tag(dot, "R", t2_s[...]), _MM)
+
+
+def _small_inv_kernel(re_ref, im_ref, *refs, ct: int, mode: str):
+    t1_hbm, t2_hbm, y_ref, t1_s, t2_s, sems = refs
+    _small_tables_dma(t1_hbm, t2_hbm, t1_s, t2_s, sems, ct)
+    dot = _Dot(mode)
+    y_ref[...] = (dot(dot.lhs(re_ref[...], 1), _tag(dot, "R", t1_s[...]), _MM)
+                  + dot(dot.lhs(im_ref[...], 1), _tag(dot, "R", t2_s[...]), _MM))
+
+
+def small_real_eligible(n: int) -> bool:
+    return SMALL_MIN_REAL <= n < MIN_REAL_SIZE and (n & (n - 1)) == 0
+
+
+def _small_plan(k_dim: int, c_dim: int, n_in: int, n_out: int, mode: str):
+    """(tile_b, ct) for the dense small kernels, or None if infeasible.
+
+    ``k_dim``/``c_dim``: contraction / output-column extents. ``n_in``/
+    ``n_out``: distinct (tile_b, k_dim) inputs and (tile_b, ct) outputs.
+    Budget: scratch tables + double-buffered io blocks + the in-kernel
+    stacked-lhs temps (bf16x3) or the HIGHEST dots' internal operand splits
+    (~2x operand bytes — see _pick_group)."""
+    item = 2 if mode == "bf16x3" else 4
+    sk = 3 * k_dim if mode == "bf16x3" else k_dim
+    # Only whole-table plans: column-chunked variants (N = 2048's tables
+    # exceed VMEM) measured 1.11e6 roundtrips/s on v5e — SLOWER than the
+    # staged matmul fallback — so they fall back instead (the chunked DMA
+    # machinery in _small_tables_dma stays for a future folded-input variant).
+    cts = [c_dim]
+    for ct in cts:
+        tables = 2 * sk * ct * item
+        for tb in (512, 256, 128, 64, 32, 16, 8):
+            est = tables + n_in * 2 * tb * k_dim * 4 + n_out * 2 * tb * ct * 4
+            if mode == "bf16x3":
+                est += n_in * tb * 3 * k_dim * 2
+            else:
+                est += 2 * (n_in * tb * k_dim + 2 * sk * ct) * 4
+            if est <= _VMEM_TARGET:
+                return tb, ct
+    return None
+
+
+def _small_pad_rows(a: jax.Array, tb: int) -> Tuple[jax.Array, int]:
+    b = a.shape[0]
+    bp = -(-b // tb) * tb
+    if bp != b:
+        a = jnp.pad(a, ((0, bp - b), (0, 0)))
+    return a, bp
+
+
+def _rfft_small(x: jax.Array, interpret: bool, mode: str):
+    n = x.shape[-1]
+    c = n // 2
+    lead = x.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    plan = _small_plan(n, c, 1, 2, mode)
+    if plan is None:
+        return None
+    tb, ct = plan
+    a, bp = _small_pad_rows(x.reshape(b, n).astype(jnp.float32), tb)
+    cr, ci = _small_fwd_tables(n)
+    t1 = _prep_operand(cr, 0, "R", mode)
+    t2 = _prep_operand(ci, 0, "R", mode)
+    spec_x = pl.BlockSpec((tb, n), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((tb, ct), lambda j, i: (i, j),
+                          memory_space=pltpu.VMEM)
+    pr, pi = pl.pallas_call(
+        partial(_small_fwd_kernel, ct=ct, mode=mode),
+        grid=(c // ct, bp // tb),
+        compiler_params=_seq_grid(2),
+        in_specs=[spec_x] + _hbm_specs(2),
+        out_specs=[spec_o, spec_o],
+        out_shape=[jax.ShapeDtypeStruct((bp, c), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((t1.shape[0], ct), t1.dtype),
+                        pltpu.VMEM((t2.shape[0], ct), t2.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(flops=bp * 4 * n * c,
+                                      bytes_accessed=4 * bp * (n + 2 * c),
+                                      transcendentals=0),
+    )(a, t1, t2)
+    return (pr[:b].reshape(*lead, c).astype(x.dtype),
+            pi[:b].reshape(*lead, c).astype(x.dtype))
+
+
+def _rifft_small(re: jax.Array, im: jax.Array, interpret: bool, mode: str):
+    c = re.shape[-1]
+    n = c * 2
+    lead = re.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    plan = _small_plan(c, n, 2, 1, mode)
+    if plan is None:
+        return None
+    tb, ct = plan
+    ar, bp = _small_pad_rows(re.reshape(b, c).astype(jnp.float32), tb)
+    ai, _ = _small_pad_rows(im.reshape(b, c).astype(jnp.float32), tb)
+    tr, ti = _small_inv_tables(n)
+    t1 = _prep_operand(tr, 0, "R", mode)
+    t2 = _prep_operand(ti, 0, "R", mode)
+    spec_p = pl.BlockSpec((tb, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    spec_y = pl.BlockSpec((tb, ct), lambda j, i: (i, j),
+                          memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        partial(_small_inv_kernel, ct=ct, mode=mode),
+        grid=(n // ct, bp // tb),
+        compiler_params=_seq_grid(2),
+        in_specs=[spec_p, spec_p] + _hbm_specs(2),
+        out_specs=spec_y,
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t1.shape[0], ct), t1.dtype),
+                        pltpu.VMEM((t2.shape[0], ct), t2.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(flops=bp * 4 * n * c,
+                                      bytes_accessed=4 * bp * (n + 2 * c),
+                                      transcendentals=0),
+    )(ar, ai, t1, t2)
+    return y[:b].reshape(*lead, n).astype(re.dtype)
 
 
 # -----------------------------------------------------------------------------

@@ -136,39 +136,60 @@ def process(config: TrackerConfig, state: TrackerState,
     mask = valid[:, None] & active[None, :] & (cost < config.max_cost)
     cost = jnp.where(mask, cost, _BIG)
 
-    # Greedy global-min assignment.
-    def body(_, carry):
-        cost, p_asn, t_asn, new_f, new_a, new_s, chg = carry
-        flat = cost.reshape(-1)
-        k = jnp.argmin(flat)
-        c = flat[k]
-        i = k // tr
-        j = k - i * tr
-        do = jnp.isfinite(c)
+    # Greedy global-min assignment via PARALLEL local-dominant rounds.
+    #
+    # The sequential form (repeat: global argmin, mask row+col) is a chain of
+    # min(pk, tr) data-dependent extractions — driven per frame from a
+    # lax.scan (models/pipeline.py) it dominated the config-5 pass (~40 of
+    # 45 ms at 511 frames). Equivalent reformulation: under the strict total
+    # order key (cost, peak-major flat index), an entry that is the minimum of
+    # BOTH its row and its column is certainly extracted by the sequential
+    # greedy before either its row or column is consumed — so ALL such "local
+    # dominants" can be assigned in one parallel round, rows/columns masked,
+    # and the round repeated until no finite entry remains. Every round
+    # assigns at least the global minimum, so it terminates in <= min(pk, tr)
+    # rounds (typically ~log: 3-5 for 16x16). `jnp.argmin` picks the first
+    # minimum along its axis, which implements the flat-index tie-break
+    # exactly (within a row lower j = lower flat index; within a column lower
+    # i = lower flat index) — matching the reference's stable sort over its
+    # peak-major cost generation order (PartialTracker.hpp:224-289).
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (pk, tr), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (pk, tr), 1)
 
-        # change statistics for a Continue assignment (add_change, :85-108).
+    def cond(carry):
+        cost = carry[0]
+        return jnp.isfinite(jnp.min(cost))
+
+    def body(carry):
+        cost, p_asn, t_asn, new_f, new_a, new_s, chg = carry
+        row_min_j = jnp.argmin(cost, axis=1)          # (pk,) ties -> lowest j
+        col_min_i = jnp.argmin(cost, axis=0)          # (tr,) ties -> lowest i
+        sel = ((cols_i == row_min_j[:, None]) & (rows_i == col_min_i[None, :])
+               & jnp.isfinite(cost))                  # local dominants
+        sel_p = jnp.any(sel, axis=1)
+        sel_t = jnp.any(sel, axis=0)
+        peak_for_track = jnp.argmax(sel, axis=0)      # selected i per column
+
+        cost = jnp.where(sel_p[:, None] | sel_t[None, :], _BIG, cost)
+        p_asn = p_asn | sel_p
+        t_asn = t_asn | sel_t
+        new_f = jnp.where(sel_t, peak_freq[peak_for_track], new_f)
+        new_a = jnp.where(sel_t, peak_amp[peak_for_track], new_a)
+        new_s = jnp.where(sel_t, CONTINUE, new_s)
+
+        # change statistics for Continue assignments (add_change, :85-108).
         # config.track_changes is static, so the disabled branch traces to the
         # reference's change_tracker<T, false> no-op (PartialTracker.hpp:122-156).
         if config.track_changes:
-            fch = (pf[i] - tf[j]) if config.use_pitch else (peak_freq[i] - state.freq[j])
-            ach = (pa[i] - ta[j]) if config.use_db else (peak_amp[i] - state.amp[j])
-
-        def assign(args):
-            cost, p_asn, t_asn, new_f, new_a, new_s, chg = args
-            cost = cost.at[i, :].set(_BIG).at[:, j].set(_BIG)
-            p_asn = p_asn.at[i].set(True)
-            t_asn = t_asn.at[j].set(True)
-            new_f = new_f.at[j].set(peak_freq[i])
-            new_a = new_a.at[j].set(peak_amp[i])
-            new_s = new_s.at[j].set(CONTINUE)
-            if config.track_changes:
-                chg = Changes(chg.freq_sum + fch, chg.freq_abs + jnp.abs(fch),
-                              chg.amp_sum + ach, chg.amp_abs + jnp.abs(ach),
-                              chg.count + 1)
-            return cost, p_asn, t_asn, new_f, new_a, new_s, chg
-
-        return jax.lax.cond(do, assign, lambda a: a,
-                            (cost, p_asn, t_asn, new_f, new_a, new_s, chg))
+            # df/da already hold the configured units (pitch-or-Hz, dB-or-
+            # linear) — the same values the cost was built from.
+            chg = Changes(
+                chg.freq_sum + jnp.sum(jnp.where(sel, df, 0.0)),
+                chg.freq_abs + jnp.sum(jnp.where(sel, jnp.abs(df), 0.0)),
+                chg.amp_sum + jnp.sum(jnp.where(sel, da, 0.0)),
+                chg.amp_abs + jnp.sum(jnp.where(sel, jnp.abs(da), 0.0)),
+                chg.count + jnp.sum(sel).astype(jnp.int32))
+        return cost, p_asn, t_asn, new_f, new_a, new_s, chg
 
     zero = jnp.zeros((), dtype)
     chg0 = Changes(zero, zero, zero, zero, jnp.zeros((), jnp.int32))
@@ -176,9 +197,8 @@ def process(config: TrackerConfig, state: TrackerState,
              jnp.zeros((pk,), bool), jnp.zeros((tr,), bool),
              state.freq, state.amp, jnp.full((tr,), OFF, jnp.int32),
              chg0)
-    n_assign = min(pk, tr)
-    cost, p_asn, t_asn, new_f, new_a, new_s, chg = jax.lax.fori_loop(
-        0, n_assign, body, carry)
+    carry = jax.lax.while_loop(cond, body, carry)
+    cost, p_asn, t_asn, new_f, new_a, new_s, chg = carry
 
     # Average the change statistics (change_tracker::complete, :110-120).
     if config.track_changes:

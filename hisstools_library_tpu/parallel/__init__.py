@@ -18,5 +18,6 @@ from .fft_sharded import (  # noqa: F401
 from .sharded import (  # noqa: F401
     n_to_one_offline,
     scheme_offline_sharded,
+    scheme_stream_any_sharded,
     scheme_stream_sharded,
 )

@@ -243,3 +243,36 @@ def scheme_stream_sharded(mesh: Mesh, ir: mono_mod.MonoIR,
         check_vma=False,
     )
     return shard_fn(ir, state, x)
+
+
+def scheme_stream_any_sharded(mesh: Mesh, ir: mono_mod.MonoIR,
+                              state: mono_mod.MonoStreamState, x: jax.Array,
+                              backend: Optional[str] = None
+                              ) -> Tuple[mono_mod.MonoStreamState, jax.Array]:
+    """Channel-data-parallel SAMPLE-GRANULAR streaming over the mesh.
+
+    The serving-at-scale form of :func:`mono_mod.process_any`: real audio
+    callbacks arrive at arbitrary block sizes (the reference's RW-counter main
+    loop, PartitionedConvolve.cpp:243-385, exists exactly for this), and each
+    device advances its channel shard's sub-hop state — staging windows,
+    output stores, hop phase — independently; the per-section ``phase``/``pos``
+    counters are scalars and replicate. No cross-device communication.
+
+    ``ir``/``state``: leading channel dim divisible by the channel-axis size;
+    ``x``: (C, B) with ANY B >= 1.
+    """
+    def local(ir_local, state_local, x_local):
+        return mono_mod.process_any(ir_local, state_local, x_local,
+                                    backend=backend)
+
+    def chan_specs(tree):
+        return jax.tree.map(
+            lambda l: P() if jnp.ndim(l) == 0 else P(CHANNEL_AXIS), tree)
+
+    shard_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(chan_specs(ir), chan_specs(state), P(CHANNEL_AXIS)),
+        out_specs=(chan_specs(state), P(CHANNEL_AXIS)),
+        check_vma=False,
+    )
+    return shard_fn(ir, state, x)

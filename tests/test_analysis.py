@@ -363,3 +363,52 @@ def test_device_rng_helpers():
     assert abs(u.mean() - 0.5) < 0.03
     g = np.asarray(device_gaussian(k, (4096,)))
     assert abs(g.mean()) < 0.06 and abs(g.std() - 1.0) < 0.06
+
+
+def test_tracker_parallel_rounds_match_sequential_greedy():
+    """The parallel local-dominant extraction (round 3) is EXACTLY the
+    sequential greedy: randomized frames, including deliberate cost ties,
+    against a numpy sort+scan oracle of the reference algorithm
+    (PartialTracker.hpp:224-289: sort costs ascending, assign skipping used
+    peaks/tracks, stable in peak-major generation order)."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.models import partial_tracker as pt
+
+    rng = np.random.default_rng(42)
+    pk = tr = 8
+    cfg = pt.TrackerConfig(max_peaks=pk, max_tracks=tr, square_cost=False,
+                           use_pitch=False, use_db=False,
+                           freq_scale=1.0, amp_scale=0.0, max_cost=1e9)
+
+    for trial in range(40):
+        tf = rng.uniform(0, 100, tr)
+        pf = rng.uniform(0, 100, pk)
+        if trial % 3 == 0:
+            # Force ties: quantize costs coarsely.
+            tf = np.round(tf / 10) * 10
+            pf = np.round(pf / 10) * 10
+        ta = np.ones(tr)
+        pa = np.ones(pk)
+
+        # numpy oracle: cost = |pf_i - tf_j|; stable ascending sort over
+        # peak-major order, greedy skip-used scan.
+        cost = np.abs(pf[:, None] - tf[None, :])
+        order = np.argsort(cost.reshape(-1), kind="stable")
+        used_p = np.zeros(pk, bool)
+        used_t = np.zeros(tr, bool)
+        assign = {}
+        for k in order:
+            i, j = divmod(k, tr)
+            if not used_p[i] and not used_t[j]:
+                used_p[i] = used_t[j] = True
+                assign[j] = i
+
+        st = pt.TrackerState(jnp.asarray(tf, jnp.float32),
+                             jnp.asarray(ta, jnp.float32),
+                             jnp.full((tr,), pt.CONTINUE, jnp.int32))
+        new_st, _ = pt.process(cfg, st, jnp.asarray(pf, jnp.float32),
+                               jnp.asarray(pa, jnp.float32), pk, 1e9)
+        got = np.asarray(new_st.freq)
+        for j in range(tr):
+            if j in assign and np.asarray(new_st.state)[j] == pt.CONTINUE:
+                assert got[j] == np.float32(pf[assign[j]]), (trial, j)

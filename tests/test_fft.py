@@ -321,3 +321,70 @@ def test_backend_default_roundtrip():
         assert float(re[0]) == 128.0  # DC lane: 2 * sum(x)
     finally:
         api.set_default_backend(old)
+
+
+# -----------------------------------------------------------------------------
+# Batched small-N dense kernels (round 3): N = 128..2048, two matmuls per
+# direction with the packed layout baked into the tables
+# -----------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["highest", "bf16x3"])
+@pytest.mark.parametrize("n", [128, 256, 512, 1024])
+def test_pallas_small_dense_parity(rng, mode, n):
+    from hisstools_library_tpu.fft import pallas_fft
+
+    floor = 120.0 if mode == "highest" else 95.0
+    # batch 37: not a multiple of any tile -> exercises the row padding
+    x = rng.standard_normal((37, n)).astype(np.float32)
+    re, im = pallas_fft._rfft_small(jnp.asarray(x), True, mode)
+    assert re is not None
+    ore, oim = packed_oracle(x.astype(np.float64))
+    assert snr_db(ore, re) > floor
+    assert snr_db(oim, im) > floor
+    y = pallas_fft._rifft_small(re, im, True, mode)
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > floor
+
+
+def test_pallas_small_dense_routed_from_public_entry(rng):
+    """rfft_packed/rifft_packed route 128 <= N < 4096 through the dense
+    kernels (small_real_eligible) and keep exact packing semantics."""
+    from hisstools_library_tpu.fft import pallas_fft
+
+    assert pallas_fft.small_real_eligible(1024)
+    assert not pallas_fft.small_real_eligible(4096)
+    assert not pallas_fft.small_real_eligible(64)
+    # 2048's whole tables exceed VMEM; the measured-slower chunked form is
+    # disabled, so it must fall back (plan None) rather than run chunked.
+    assert pallas_fft._small_plan(2048, 1024, 1, 2, "bf16x3") is None
+    x2 = rng.standard_normal((3, 2048)).astype(np.float32)
+    assert pallas_fft._rfft_small(jnp.asarray(x2), True, "bf16x3") is None
+    x = rng.standard_normal((5, 512)).astype(np.float32)
+    re, im = pallas_fft.rfft_packed(jnp.asarray(x), interpret=True)
+    ore, oim = packed_oracle(x.astype(np.float64))
+    assert snr_db(ore, re) > 95.0
+    assert snr_db(oim, im) > 95.0
+    y = pallas_fft.rifft_packed(re, im, interpret=True)
+    assert snr_db(2.0 * 512 * x.astype(np.float64), y) > 95.0
+    assert re.dtype == x.dtype and y.dtype == x.dtype
+
+
+def test_large_fft_sharded_handoff(rng, monkeypatch):
+    """Above the measured single-chip envelope the API hands 1-D transforms to
+    the distributed four-step automatically (VERDICT r2 item 3). The envelope
+    is lowered so the handoff logic runs at test size on the 8-device mesh."""
+    from hisstools_library_tpu.fft import api
+
+    monkeypatch.setattr(api, "MAX_SINGLE_CHIP_LOG2", 12)
+    monkeypatch.setattr(api, "_on_tpu", lambda: True)
+    n = 1 << 13
+    x = rng.standard_normal(n).astype(np.float32)
+    re, im = fft.rfft(jnp.asarray(x), backend="matmul")
+    ore, oim = packed_oracle(x.astype(np.float64)[None])
+    assert snr_db(ore[0], re) > 95.0
+    assert snr_db(oim[0], im) > 95.0
+    y = fft.rifft(re, im, backend="matmul")
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > 95.0
+    # 2-D input cannot hand off -> the documented envelope error
+    with pytest.raises(ValueError, match="single-chip envelope"):
+        fft.rfft(jnp.asarray(rng.standard_normal((2, n)).astype(np.float32)),
+                 backend="matmul")

@@ -194,3 +194,31 @@ def test_make_mesh_rejects_non_dividing_inference():
     with _pytest.raises(ValueError):
         make_mesh(channel=5)
     assert make_mesh(block=2).devices.size == 8
+
+
+def test_sharded_streaming_sample_granular(rng):
+    """Sample-granular (ANY callback size) streaming under the channel mesh is
+    BIT-IDENTICAL to single-device process_any, including the carried sub-hop
+    state across a ragged callback sequence (VERDICT r2 item 7 — serving at
+    scale with real callback sizes)."""
+    from hisstools_library_tpu.parallel import scheme_stream_any_sharded
+
+    mesh = make_mesh(channel=8, block=1)
+    scheme = PartitionScheme((64, 256), zero_latency=True)
+    C = 8
+    irs = (rng.standard_normal((C, 600)) * 0.3).astype(np.float32)
+    ir = mono.prepare_ir(scheme, irs, offline_tail=False)
+    blocks = [37, 100, 1, 64, 333]
+    xs = [jnp.asarray(rng.standard_normal((C, b)).astype(np.float32))
+          for b in blocks]
+
+    s_ref = mono.init_stream_state(scheme, ir, batch_shape=(C,))
+    outs_ref = []
+    for x in xs:
+        s_ref, y = mono.process_any(ir, s_ref, x)
+        outs_ref.append(np.asarray(y))
+
+    s_sh = mono.init_stream_state(scheme, ir, batch_shape=(C,))
+    for x, y_ref in zip(xs, outs_ref):
+        s_sh, y = scheme_stream_any_sharded(mesh, ir, s_sh, x)
+        np.testing.assert_array_equal(y_ref, np.asarray(y))

@@ -94,6 +94,21 @@ def main():
                lambda r, i, m=mode: pf.rifft_packed(r, i, mode=m),
                S(8, n_max // 2), S(8, n_max // 2))
 
+    # --- batched small-N dense kernels at the largest whole-table size ---
+    for mode in ("bf16x3", "highest"):
+        for n_small in (1024,):
+            plan_f = pf._small_plan(n_small, n_small // 2, 1, 2, mode)
+            plan_i = pf._small_plan(n_small // 2, n_small, 2, 1, mode)
+            assert plan_f and plan_i, f"small plan infeasible at {n_small}"
+            print(f"  small dense N={n_small} {mode}: fwd tile/ct {plan_f}, "
+                  f"inv {plan_i}")
+            _probe(f"rfft_small N={n_small} b=4096 {mode}",
+                   lambda x, m=mode: pf.rfft_packed(x, mode=m),
+                   S(4096, n_small))
+            _probe(f"rifft_small N={n_small} b=4096 {mode}",
+                   lambda r, i, m=mode: pf.rifft_packed(r, i, mode=m),
+                   S(4096, n_small // 2), S(4096, n_small // 2))
+
     # --- split-pair kernels at the top of the engine's validated range ---
     for mode, n in (("bf16x3", pf.MAX_REAL_SIZE), ("highest", 1 << 19)):
         _probe(f"split rfft/rifft N=2^{n.bit_length()-1} {mode}",
