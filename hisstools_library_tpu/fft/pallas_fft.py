@@ -959,6 +959,33 @@ def _small_inv_tables(n: int):
     return ar.astype(np.float32), ai.astype(np.float32)
 
 
+@lru_cache(maxsize=8)
+def _small_fwd_tables_odd(n: int):
+    """Odd-bin forward tables for the folded N = 2048 path (h = n/2 rows,
+    h/2 columns): the dense DFT of v = x[:h] - x[h:] with the odd-k twiddle
+    absorbed — X[2m+1] = sum_t v[t] e^(-2 pi i t (2m+1) / n). No DC/Nyquist
+    specials: both packed specials are even-class bins."""
+    h = n // 2
+    t = np.arange(h, dtype=np.float64)[:, None]
+    m = np.arange(h // 2, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * t * (2.0 * m + 1.0) / n
+    return ((2.0 * np.cos(ang)).astype(np.float32),
+            (-2.0 * np.sin(ang)).astype(np.float32))
+
+
+@lru_cache(maxsize=8)
+def _small_inv_tables_odd(n: int):
+    """Odd-bin inverse tables (h/2 rows, h = n/2 columns): the odd-k half of
+    the unscaled packed inverse, anti-periodic over the output fold
+    (y[t + h] flips sign — applied in _rifft_small_folded's combine)."""
+    h = n // 2
+    m = np.arange(h // 2, dtype=np.float64)[:, None]
+    t = np.arange(h, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * (2.0 * m + 1.0) * t / n
+    return ((2.0 * np.cos(ang)).astype(np.float32),
+            (-2.0 * np.sin(ang)).astype(np.float32))
+
+
 def _small_tables_dma(t1_hbm, t2_hbm, t1_s, t2_s, sems, ct: int):
     """Both tables HBM -> scratch once, on the first grid step of the batch
     dim. _small_plan only emits whole-table layouts (ct == all columns — the
@@ -976,11 +1003,19 @@ def _small_tables_dma(t1_hbm, t2_hbm, t1_s, t2_s, sems, ct: int):
         d2.wait()
 
 
-def _small_fwd_kernel(x_ref, *refs, ct: int, mode: str):
+def _small_fwd_kernel(x_ref, *refs, ct: int, mode: str, fold: str = ""):
     t1_hbm, t2_hbm, pr_ref, pi_ref, t1_s, t2_s, sems = refs
     _small_tables_dma(t1_hbm, t2_hbm, t1_s, t2_s, sems, ct)
     dot = _Dot(mode)
-    a = dot.lhs(x_ref[...], 1)
+    x = x_ref[...]
+    if fold:
+        # Folded-input variant (N = 2048): the block holds the FULL frame and
+        # the kernel folds it to u = x[:h] + x[h:] (even bins) or
+        # v = x[:h] - x[h:] (odd bins) before the half-size contraction.
+        # Static half-width lane slices (1024 is a 128-multiple).
+        h = x.shape[-1] // 2
+        x = x[:, :h] + x[:, h:] if fold == "sum" else x[:, :h] - x[:, h:]
+    a = dot.lhs(x, 1)
     pr_ref[...] = dot(a, _tag(dot, "R", t1_s[...]), _MM)
     pi_ref[...] = dot(a, _tag(dot, "R", t2_s[...]), _MM)
 
@@ -993,29 +1028,37 @@ def _small_inv_kernel(re_ref, im_ref, *refs, ct: int, mode: str):
                   + dot(dot.lhs(im_ref[...], 1), _tag(dot, "R", t2_s[...]), _MM))
 
 
+_SMALL_FFT_ENABLED = os.environ.get("HISSTOOLS_SMALL_FFT", "1") != "0"
+
+
 def small_real_eligible(n: int) -> bool:
-    return SMALL_MIN_REAL <= n < MIN_REAL_SIZE and (n & (n - 1)) == 0
+    return (_SMALL_FFT_ENABLED and SMALL_MIN_REAL <= n < MIN_REAL_SIZE
+            and (n & (n - 1)) == 0)
 
 
-def _small_plan(k_dim: int, c_dim: int, n_in: int, n_out: int, mode: str):
+def _small_plan(k_dim: int, c_dim: int, n_in: int, n_out: int, mode: str,
+                in_w: int = 0):
     """(tile_b, ct) for the dense small kernels, or None if infeasible.
 
     ``k_dim``/``c_dim``: contraction / output-column extents. ``n_in``/
-    ``n_out``: distinct (tile_b, k_dim) inputs and (tile_b, ct) outputs.
+    ``n_out``: distinct (tile_b, in_w) inputs and (tile_b, ct) outputs;
+    ``in_w`` is the input block width (defaults to the contraction — the
+    folded N = 2048 kernels stage a 2x-wide block and fold in-kernel).
     Budget: scratch tables + double-buffered io blocks + the in-kernel
     stacked-lhs temps (bf16x3) or the HIGHEST dots' internal operand splits
     (~2x operand bytes — see _pick_group)."""
     item = 2 if mode == "bf16x3" else 4
     sk = 3 * k_dim if mode == "bf16x3" else k_dim
+    in_w = in_w or k_dim
     # Only whole-table plans: column-chunked variants (N = 2048's tables
     # exceed VMEM) measured 1.11e6 roundtrips/s on v5e — SLOWER than the
-    # staged matmul fallback — so they fall back instead (the chunked DMA
-    # machinery in _small_tables_dma stays for a future folded-input variant).
+    # staged matmul fallback. N = 2048 instead runs the FOLDED form (two
+    # half-size table pairs in two kernels — see _rfft_small_folded).
     cts = [c_dim]
     for ct in cts:
         tables = 2 * sk * ct * item
         for tb in (512, 256, 128, 64, 32, 16, 8):
-            est = tables + n_in * 2 * tb * k_dim * 4 + n_out * 2 * tb * ct * 4
+            est = tables + n_in * 2 * tb * in_w * 4 + n_out * 2 * tb * ct * 4
             if mode == "bf16x3":
                 est += n_in * tb * 3 * k_dim * 2
             else:
@@ -1033,24 +1076,25 @@ def _small_pad_rows(a: jax.Array, tb: int) -> Tuple[jax.Array, int]:
     return a, bp
 
 
-def _rfft_small(x: jax.Array, interpret: bool, mode: str):
-    n = x.shape[-1]
-    c = n // 2
-    lead = x.shape[:-1]
-    b = int(np.prod(lead)) if lead else 1
-    plan = _small_plan(n, c, 1, 2, mode)
+def _small_fwd_call(a: jax.Array, t1np, t2np, interpret: bool, mode: str,
+                    fold: str = ""):
+    """Two-matmul forward kernel on a 2-D f32 batch: (b, W) -> (pr, pi)
+    (b, C) with C = t1np.shape[1]. ``fold`` stages the full frame (W = 2K)
+    and folds to u/v in-kernel (the N = 2048 path). None if no VMEM plan."""
+    b, w = a.shape
+    k_dim, c = t1np.shape
+    plan = _small_plan(k_dim, c, 1, 2, mode, in_w=w)
     if plan is None:
         return None
     tb, ct = plan
-    a, bp = _small_pad_rows(x.reshape(b, n).astype(jnp.float32), tb)
-    cr, ci = _small_fwd_tables(n)
-    t1 = _prep_operand(cr, 0, "R", mode)
-    t2 = _prep_operand(ci, 0, "R", mode)
-    spec_x = pl.BlockSpec((tb, n), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    a, bp = _small_pad_rows(a, tb)
+    t1 = _prep_operand(t1np, 0, "R", mode)
+    t2 = _prep_operand(t2np, 0, "R", mode)
+    spec_x = pl.BlockSpec((tb, w), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((tb, ct), lambda j, i: (i, j),
                           memory_space=pltpu.VMEM)
     pr, pi = pl.pallas_call(
-        partial(_small_fwd_kernel, ct=ct, mode=mode),
+        partial(_small_fwd_kernel, ct=ct, mode=mode, fold=fold),
         grid=(c // ct, bp // tb),
         compiler_params=_seq_grid(2),
         in_specs=[spec_x] + _hbm_specs(2),
@@ -1060,12 +1104,102 @@ def _rfft_small(x: jax.Array, interpret: bool, mode: str):
                         pltpu.VMEM((t2.shape[0], ct), t2.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(flops=bp * 4 * n * c,
-                                      bytes_accessed=4 * bp * (n + 2 * c),
+        cost_estimate=pl.CostEstimate(flops=bp * 4 * k_dim * c,
+                                      bytes_accessed=4 * bp * (w + 2 * c),
                                       transcendentals=0),
     )(a, t1, t2)
-    return (pr[:b].reshape(*lead, c).astype(x.dtype),
-            pi[:b].reshape(*lead, c).astype(x.dtype))
+    return pr[:b], pi[:b]
+
+
+def _small_inv_call(re2: jax.Array, im2: jax.Array, t1np, t2np,
+                    interpret: bool, mode: str):
+    """Two-matmul inverse kernel on 2-D f32 spectra halves: (b, K) x2 ->
+    (b, C) with C = t1np.shape[1]. None if no VMEM plan."""
+    b, k_dim = re2.shape
+    c = t1np.shape[1]
+    plan = _small_plan(k_dim, c, 2, 1, mode)
+    if plan is None:
+        return None
+    tb, ct = plan
+    ar, bp = _small_pad_rows(re2, tb)
+    ai, _ = _small_pad_rows(im2, tb)
+    t1 = _prep_operand(t1np, 0, "R", mode)
+    t2 = _prep_operand(t2np, 0, "R", mode)
+    spec_p = pl.BlockSpec((tb, k_dim), lambda j, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_y = pl.BlockSpec((tb, ct), lambda j, i: (i, j),
+                          memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        partial(_small_inv_kernel, ct=ct, mode=mode),
+        grid=(c // ct, bp // tb),
+        compiler_params=_seq_grid(2),
+        in_specs=[spec_p, spec_p] + _hbm_specs(2),
+        out_specs=spec_y,
+        out_shape=jax.ShapeDtypeStruct((bp, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t1.shape[0], ct), t1.dtype),
+                        pltpu.VMEM((t2.shape[0], ct), t2.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(flops=bp * 4 * k_dim * c,
+                                      bytes_accessed=4 * bp * (2 * k_dim + c),
+                                      transcendentals=0),
+    )(ar, ai, t1, t2)
+    return y[:b]
+
+
+def _rfft_small_folded(a: jax.Array, interpret: bool, mode: str):
+    """N = 2048 forward via the even/odd input fold: the whole-table dense
+    form's stacked tables exceed VMEM (ROADMAP dead end 6), but folding
+    x -> u = x[:h] + x[h:], v = x[:h] - x[h:] halves both tables AND FLOPs:
+    even bins are EXACTLY the packed h-point transform of u (DC/Nyquist
+    packing included — both specials are even-class), odd bins are v against
+    twiddle-absorbed odd tables. One XLA column-interleave pass reassembles
+    the packed order."""
+    h = a.shape[-1] // 2
+    even = _small_fwd_call(a, *_small_fwd_tables(h), interpret, mode,
+                           fold="sum")
+    odd = _small_fwd_call(a, *_small_fwd_tables_odd(2 * h), interpret, mode,
+                          fold="diff")
+    if even is None or odd is None:
+        return None
+    b = a.shape[0]
+    pr = jnp.stack([even[0], odd[0]], axis=-1).reshape(b, h)
+    pi = jnp.stack([even[1], odd[1]], axis=-1).reshape(b, h)
+    return pr, pi
+
+
+def _rifft_small_folded(re2: jax.Array, im2: jax.Array, interpret: bool,
+                        mode: str):
+    """N = 2048 inverse, fold transposed: deinterleave the packed spectrum
+    by bin parity (XLA), run the h-point packed inverse on the even half and
+    the odd-table inverse on the odd half, combine y = [a + b | a - b]."""
+    b, c = re2.shape
+    q = c // 2
+    re3 = re2.reshape(b, q, 2)
+    im3 = im2.reshape(b, q, 2)
+    a_part = _small_inv_call(re3[..., 0], im3[..., 0], *_small_inv_tables(c),
+                             interpret, mode)
+    b_part = _small_inv_call(re3[..., 1], im3[..., 1],
+                             *_small_inv_tables_odd(2 * c), interpret, mode)
+    if a_part is None or b_part is None:
+        return None
+    return jnp.concatenate([a_part + b_part, a_part - b_part], axis=-1)
+
+
+def _rfft_small(x: jax.Array, interpret: bool, mode: str):
+    n = x.shape[-1]
+    c = n // 2
+    lead = x.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    a = x.reshape(b, n).astype(jnp.float32)
+    if n == 2048:
+        out = _rfft_small_folded(a, interpret, mode)
+    else:
+        out = _small_fwd_call(a, *_small_fwd_tables(n), interpret, mode)
+    if out is None:
+        return None
+    return (out[0].reshape(*lead, c).astype(x.dtype),
+            out[1].reshape(*lead, c).astype(x.dtype))
 
 
 def _rifft_small(re: jax.Array, im: jax.Array, interpret: bool, mode: str):
@@ -1073,34 +1207,15 @@ def _rifft_small(re: jax.Array, im: jax.Array, interpret: bool, mode: str):
     n = c * 2
     lead = re.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
-    plan = _small_plan(c, n, 2, 1, mode)
-    if plan is None:
+    ar = re.reshape(b, c).astype(jnp.float32)
+    ai = im.reshape(b, c).astype(jnp.float32)
+    if n == 2048:
+        y = _rifft_small_folded(ar, ai, interpret, mode)
+    else:
+        y = _small_inv_call(ar, ai, *_small_inv_tables(n), interpret, mode)
+    if y is None:
         return None
-    tb, ct = plan
-    ar, bp = _small_pad_rows(re.reshape(b, c).astype(jnp.float32), tb)
-    ai, _ = _small_pad_rows(im.reshape(b, c).astype(jnp.float32), tb)
-    tr, ti = _small_inv_tables(n)
-    t1 = _prep_operand(tr, 0, "R", mode)
-    t2 = _prep_operand(ti, 0, "R", mode)
-    spec_p = pl.BlockSpec((tb, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
-    spec_y = pl.BlockSpec((tb, ct), lambda j, i: (i, j),
-                          memory_space=pltpu.VMEM)
-    y = pl.pallas_call(
-        partial(_small_inv_kernel, ct=ct, mode=mode),
-        grid=(n // ct, bp // tb),
-        compiler_params=_seq_grid(2),
-        in_specs=[spec_p, spec_p] + _hbm_specs(2),
-        out_specs=spec_y,
-        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((t1.shape[0], ct), t1.dtype),
-                        pltpu.VMEM((t2.shape[0], ct), t2.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(flops=bp * 4 * n * c,
-                                      bytes_accessed=4 * bp * (n + 2 * c),
-                                      transcendentals=0),
-    )(ar, ai, t1, t2)
-    return y[:b].reshape(*lead, n).astype(re.dtype)
+    return y.reshape(*lead, n).astype(re.dtype)
 
 
 # -----------------------------------------------------------------------------
@@ -1309,57 +1424,105 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
 # lag_mac_causal; the caller keeps the same pad/shift/trim envelope.
 # -----------------------------------------------------------------------------
 
-def _fastfir_kernel(prevb_ref, curb_ref, hre_hbm, him_hbm, *refs,
-                    n2h: int, p: int, scale: float, mode: str):
+def _fastfir_kernel(curb_ref, hre_hbm, him_hbm, *refs,
+                    n2h: int, p: int, g_hops: int, scale: float, mode: str,
+                    ablate: tuple = ()):
     fwd_hbm = refs[:7]
     inv_hbm = refs[7:14]
     y_ref = refs[14]
     (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
      qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
-     hre_s, him_s, ring_re, ring_im, tsem, hsem) = refs[15:]
+     hre_s, him_s, ring_re, ring_im, prev_s, tsem, hsem) = refs[15:]
     _load_tables_once(fwd_hbm + inv_hbm,
                       (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
                        qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
                       tsem, grid_rank=2)
     ci = pl.program_id(0)
-    ti = pl.program_id(1)
+    tj = pl.program_id(1)
 
-    @pl.when(ti == 0)
+    @pl.when(tj == 0)
     def _():
-        # New channel: fetch its impulse spectra, clear the ring.
+        # New channel: fetch its impulse spectra, clear the ring + history.
         d1 = pltpu.make_async_copy(hre_hbm.at[ci], hre_s, hsem.at[0])
         d2 = pltpu.make_async_copy(him_hbm.at[ci], him_s, hsem.at[1])
         d1.start()
         d2.start()
         ring_re[...] = jnp.zeros_like(ring_re)
         ring_im[...] = jnp.zeros_like(ring_im)
+        prev_s[...] = jnp.zeros_like(prev_s)
         d1.wait()
         d2.wait()
 
     dot = _Dot(mode)
 
-    # -- causal MAC from the ring (state BEFORE this hop's insert) -----------
-    pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
-
-    # -- tail riFFT of the accumulation (kept half-block only, scale folded) --
-    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
-                     tail_from=y_ref.shape[-2])
-    y_ref[0, 0] = _tail_block(dot, pr, pi, *inv, scale=scale)
-
-    # -- forward rFFT of this hop's [prev | cur] frame -> ring slot ti % p ----
-    nh = prevb_ref.shape[-2]
+    # Mode-stacking of the table operands happens ONCE per grid step and
+    # amortizes over the g_hops in-kernel hops (with one hop per step the
+    # bf16x3 re-stacking was a measurable slice of the per-step skeleton).
+    nh = curb_ref.shape[-2]
     f1r_lo = dot.lhs(f1r_s[...][:, :nh], 1)
     f1r_hi = dot.lhs(f1r_s[...][:, nh:], 1)
     f1i_lo = dot.lhs(f1i_s[...][:, :nh], 1)
     f1i_hi = dot.lhs(f1i_s[...][:, nh:], 1)
-    prev = dot.rhs(prevb_ref[0, 0], 0)
-    cur = dot.rhs(curb_ref[0, 0], 0)
-    pm = jnp.where(ti == 0, 0.0, 1.0).astype(jnp.float32)
-    er, ei = _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
-                        twr_s[...], twi_s[...], dot.lhs(f2r_s[...], 0),
-                        dot.lhs(f2i_s[...], 0), dot.lhs(f2s_s[...], 0),
-                        n2h, pm=pm)
-    _ring_insert(ring_re, ring_im, ti, p, er, ei)
+    f2r = dot.lhs(f2r_s[...], 0)
+    f2i = dot.lhs(f2i_s[...], 0)
+    f2s = dot.lhs(f2s_s[...], 0)
+    twr = twr_s[...]
+    twi = twi_s[...]
+    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+                     tail_from=nh)
+
+    # ``ablate`` (DIAGNOSTIC ONLY — output is wrong with any stage removed):
+    # static stage-skip set for in-situ time attribution at square splits
+    # (tools/chain_ablate.py); "mac"/"inv"/"fwd" drop that stage's work while
+    # keeping the grid, pipelines, and HBM traffic identical.
+    # Hops unroll with STATIC in-step indices (a fori_loop form with dynamic
+    # pl.ds block indexing measured SLOWER than one hop per grid step — 17.3
+    # vs 16.3 ms/pass — and compiled 4x slower; static slices let Mosaic
+    # software-pipeline the step). g_hops stays small (<= 4, VMEM-bounded).
+    for g in range(g_hops):
+        ti = tj * g_hops + g
+
+        # -- causal MAC from the ring (state BEFORE this hop's insert) -------
+        if "mac" not in ablate:
+            pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
+        else:
+            pr = ring_re[0] * 0.0
+            pi = ring_im[0] * 0.0
+
+        # -- tail riFFT of the accumulation (kept half-block, scale folded) --
+        if "inv" not in ablate:
+            y_ref[0, g] = _tail_block(dot, pr, pi, *inv, scale=scale)
+        else:
+            y_ref[0, g] = pr[:nh, :] * scale
+
+        # -- forward rFFT of [prev | cur] -> ring slot ti % p -----------------
+        # The previous hop's block lives in-block for g > 0 and in the carried
+        # prev_s scratch for g == 0 (zeroed on a channel's first step; the pm
+        # mask additionally zeroes the contribution on the very first hop).
+        cur_blk = curb_ref[0, g]
+        prev_blk = prev_s[...] if g == 0 else curb_ref[0, g - 1]
+        if "fwd" not in ablate:
+            prev = dot.rhs(prev_blk, 0)
+            cur = dot.rhs(cur_blk, 0)
+            pm = jnp.where(ti == 0, 0.0, 1.0).astype(jnp.float32)
+            er, ei = _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo,
+                                f1i_hi, twr, twi, f2r, f2i, f2s, n2h, pm=pm)
+            _ring_insert(ring_re, ring_im, ti, p, er, ei)
+        else:
+            _ring_insert(ring_re, ring_im, ti, p,
+                         prev_blk[:n2h, :], cur_blk[:n2h, :])
+    prev_s[...] = curb_ref[0, g_hops - 1]
+
+
+def _fastfir_vmem(n: int, p: int) -> int:
+    """Tables + per-channel state + stage temporaries of the chain kernel."""
+    n1, n2 = _split_real(n)
+    rows = _pad8(n2 // 2 + 1)
+    tables = 4 * (2 * n1 * n1 + 2 * n1 * n2 + 3 * n2 * rows)      # fwd
+    tables += 4 * (3 * (n2 // 2) * n2 + 2 * n1 * n2 + 2 * n1 * n1)  # inv
+    state = 2 * 4 * p * (n // 2) * 2                               # H + ring
+    temps = 40 * n
+    return tables + state + temps
 
 
 def fastfir_feasible(n: int, p: int) -> bool:
@@ -1370,13 +1533,20 @@ def fastfir_feasible(n: int, p: int) -> bool:
     128 tile (measured: the Zero preset's <=4096 sections fail to compile)."""
     if not ((1 << 14) <= n <= MAX_SINGLE_REAL) or (n & (n - 1)):
         return False
-    n1, n2 = _split_real(n)
-    rows = _pad8(n2 // 2 + 1)
-    tables = 4 * (2 * n1 * n1 + 2 * n1 * n2 + 3 * n2 * rows)      # fwd
-    tables += 4 * (3 * (n2 // 2) * n2 + 2 * n1 * n2 + 2 * n1 * n1)  # inv
-    state = 2 * 4 * p * (n // 2) * 2                               # H + ring
-    temps = 40 * n
-    return tables + state + temps <= vmem_budget(13)
+    return _fastfir_vmem(n, p) <= vmem_budget(13)
+
+
+def _fastfir_pick_g(n: int, p: int, t: int) -> int:
+    """Hops per grid step for the chain kernel — 1. Merging hops into one
+    grid step to amortize the ~7 ms "skeleton" (the pass time with every
+    compute stage ablated, tools/chain_ablate.py) is a MEASURED DEAD END:
+    G=2 ran 16.7 ms/pass unrolled and 17.3 via fori_loop vs 16.3 at G=1,
+    so the skeleton is io/DMA-bound, not per-step-overhead-bound (G=4 also
+    overflows scoped VMEM — unrolled hops do not reuse stage temporaries).
+    HISSTOOLS_FASTFIR_G overrides for probing; the G-generalised kernel and
+    this chooser stay for that."""
+    del n, p, t
+    return 1
 
 
 def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
@@ -1396,36 +1566,47 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
     fwd = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
     inv = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
 
+    g = int(os.environ.get("HISSTOOLS_FASTFIR_G", "0")) or \
+        _fastfir_pick_g(n, p, t)
+    tp = -(-t // g) * g
     x4 = x2d.reshape(c, t, n1h, n2).astype(jnp.float32)
+    if tp != t:
+        # Pad to a G multiple: the extra hops run on zeros after each
+        # channel's real hops (their ring pollution dies with the channel
+        # reset) and their outputs are sliced off below.
+        x4 = jnp.pad(x4, ((0, 0), (0, tp - t), (0, 0), (0, 0)))
     h4_re = h_re.reshape(c, p, n2h, n1).astype(jnp.float32)
     h4_im = h_im.reshape(c, p, n2h, n1).astype(jnp.float32)
 
-    prev_spec = pl.BlockSpec((1, 1, n1h, n2),
-                             lambda ci, i: (ci, jnp.maximum(i - 1, 0), 0, 0),
-                             memory_space=pltpu.VMEM)
-    cur_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, i, 0, 0),
+    cur_spec = pl.BlockSpec((1, g, n1h, n2), lambda ci, i: (ci, i, 0, 0),
                             memory_space=pltpu.VMEM)
-    y_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, i, 0, 0),
+    y_spec = pl.BlockSpec((1, g, n1h, n2), lambda ci, i: (ci, i, 0, 0),
                           memory_space=pltpu.VMEM)
+    # Stage ablation (HISSTOOLS_FASTFIR_ABLATE="mac,inv,..."): DIAGNOSTIC
+    # ONLY — output is wrong with any stage removed; see tools/chain_ablate.py.
+    ablate = tuple(a for a in os.environ.get(
+        "HISSTOOLS_FASTFIR_ABLATE", "").split(",") if a)
     y = pl.pallas_call(
-        partial(_fastfir_kernel, n2h=n2h, p=p, scale=float(scale), mode=mode),
-        grid=(c, t),
+        partial(_fastfir_kernel, n2h=n2h, p=p, g_hops=g, scale=float(scale),
+                mode=mode, ablate=ablate),
+        grid=(c, tp // g),
         compiler_params=_seq_grid(2),
-        in_specs=[prev_spec, cur_spec] + _hbm_specs(2) + _hbm_specs(14),
+        in_specs=[cur_spec] + _hbm_specs(2) + _hbm_specs(14),
         out_specs=y_spec,
-        out_shape=jax.ShapeDtypeStruct((c, t, n1h, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, tp, n1h, n2), jnp.float32),
         scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in fwd] +
                        [pltpu.VMEM(tb.shape, jnp.float32) for tb in inv] +
                        [pltpu.VMEM((p, n2h, n1), jnp.float32)] * 4 +
-                       [pltpu.SemaphoreType.DMA((14,)),
+                       [pltpu.VMEM((n1h, n2), jnp.float32),
+                        pltpu.SemaphoreType.DMA((14,)),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=c * t * (6 * n1 * n1 * n2 + 16 * n1 * n2 * n2h + 8 * p * (n // 2)),
-            bytes_accessed=4 * c * (2 * t * hop + 2 * p * (n // 2)),
+            flops=c * tp * (6 * n1 * n1 * n2 + 16 * n1 * n2 * n2h + 8 * p * (n // 2)),
+            bytes_accessed=4 * c * (2 * tp * hop + 2 * p * (n // 2)),
             transcendentals=0),
-    )(x4, x4, h4_re, h4_im, *fwd, *inv)
-    return y.reshape(c, t, hop).astype(x2d.dtype)
+    )(x4, h4_re, h4_im, *fwd, *inv)
+    return y[:, :t].reshape(c, t, hop).astype(x2d.dtype)
 
 
 # -----------------------------------------------------------------------------

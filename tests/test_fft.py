@@ -329,7 +329,7 @@ def test_backend_default_roundtrip():
 # -----------------------------------------------------------------------------
 
 @pytest.mark.parametrize("mode", ["highest", "bf16x3"])
-@pytest.mark.parametrize("n", [128, 256, 512, 1024])
+@pytest.mark.parametrize("n", [128, 256, 512, 1024, 2048])
 def test_pallas_small_dense_parity(rng, mode, n):
     from hisstools_library_tpu.fft import pallas_fft
 
@@ -353,11 +353,14 @@ def test_pallas_small_dense_routed_from_public_entry(rng):
     assert pallas_fft.small_real_eligible(1024)
     assert not pallas_fft.small_real_eligible(4096)
     assert not pallas_fft.small_real_eligible(64)
-    # 2048's whole tables exceed VMEM; the measured-slower chunked form is
-    # disabled, so it must fall back (plan None) rather than run chunked.
+    # 2048's whole tables exceed VMEM (the dense plan must stay infeasible,
+    # and the measured-slower chunked form stays disabled) — instead the size
+    # runs FOLDED: two half-size table pairs, interleaved outside (round 3).
     assert pallas_fft._small_plan(2048, 1024, 1, 2, "bf16x3") is None
     x2 = rng.standard_normal((3, 2048)).astype(np.float32)
-    assert pallas_fft._rfft_small(jnp.asarray(x2), True, "bf16x3") is None
+    r2, i2 = pallas_fft._rfft_small(jnp.asarray(x2), True, "bf16x3")
+    o2r, o2i = packed_oracle(x2.astype(np.float64))
+    assert snr_db(o2r, r2) > 95.0 and snr_db(o2i, i2) > 95.0
     x = rng.standard_normal((5, 512)).astype(np.float32)
     re, im = pallas_fft.rfft_packed(jnp.asarray(x), interpret=True)
     ore, oim = packed_oracle(x.astype(np.float64))

@@ -65,8 +65,10 @@ def main(argv=None):
     t0 = time.time()
 
     # Fused real FFT round trips across the supported size range, both modes.
+    # 512/1024 run the batched small-N dense kernels; 2048 the FOLDED form
+    # (even/odd input fold — two half-size table pairs, round 3).
     for mode in ("bf16x3", "highest"):
-        for n in (4096, 32768, 65536, 131072):
+        for n in (512, 1024, 2048, 4096, 32768, 65536, 131072):
             x = rng.standard_normal((4, n)).astype(np.float32)
             re, im = jax.jit(
                 lambda a, m=mode: pallas_fft.rfft_packed(a, mode=m))(

@@ -108,6 +108,17 @@ def main():
             _probe(f"rifft_small N={n_small} b=4096 {mode}",
                    lambda r, i, m=mode: pf.rifft_packed(r, i, mode=m),
                    S(4096, n_small // 2), S(4096, n_small // 2))
+        # Folded N = 2048 (round 3): two half-table kernel pairs per
+        # direction, the forward staging a full-width (tb, 2048) input block.
+        for k, c, n_in, n_out, in_w in ((1024, 512, 1, 2, 2048),
+                                        (512, 1024, 2, 1, 0)):
+            plan = pf._small_plan(k, c, n_in, n_out, mode, in_w=in_w)
+            assert plan, f"folded small plan infeasible k={k} {mode}"
+        _probe(f"rfft_small folded N=2048 b=4096 {mode}",
+               lambda x, m=mode: pf.rfft_packed(x, mode=m), S(4096, 2048))
+        _probe(f"rifft_small folded N=2048 b=4096 {mode}",
+               lambda r, i, m=mode: pf.rifft_packed(r, i, mode=m),
+               S(4096, 1024), S(4096, 1024))
 
     # --- split-pair kernels at the top of the engine's validated range ---
     for mode, n in (("bf16x3", pf.MAX_REAL_SIZE), ("highest", 1 << 19)):
