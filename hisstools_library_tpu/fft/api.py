@@ -112,14 +112,16 @@ def _log2_size(n: int) -> int:
     return log2n
 
 
-# Single-chip execution envelope, measured on a real TPU v5e with
-# tools/fft_sweep.py (round 3): 2^20..2^25 execute (2^25: 898 ms roundtrip at
-# 132 dB); 2^26..2^28 abort inside the TPU compiler (oversized temporaries in
-# the staged four-step). The reference supports setups to 2^28
-# (HISSTools_FFT/HISSTools_FFT.h:87-98) — above the envelope the API hands the
-# transform to the distributed four-step (parallel/fft_sharded.py) when more
-# than one device is available, and otherwise raises with guidance instead of
-# surfacing an opaque remote-compiler abort.
+# Whole-array staged execution envelope, measured on a real TPU v5e with
+# tools/fft_sweep.py (round 3): the staged four-step (matmul_fft) executes up
+# to 2^25 in one program; 2^26..2^28 abort inside the TPU compiler (oversized
+# temporaries). The reference supports setups to 2^28
+# (HISSTools_FFT/HISSTools_FFT.h:87-98) — above the staged envelope the API
+# routes 1-D transforms to the distributed four-step (parallel/fft_sharded.py)
+# when more than one device is available, and otherwise to the single-chip
+# out-of-core chunked four-step (fft/oversize.py), which covers the full
+# 2^26..2^28 range on ONE chip (round 4). Only >1-D batches above the envelope
+# raise (a batch of transforms this large does not fit HBM).
 MAX_SINGLE_CHIP_LOG2 = 25
 
 
@@ -132,38 +134,28 @@ def _on_tpu() -> bool:
             or "axon" in platform)
 
 
-def _shard_large_real(n: int, ndim: int):
-    """For a too-big-for-one-chip real transform on TPU: an all-device mesh to
-    hand off to rfft_sharded/rifft_sharded, or raise the documented envelope
-    error. Returns None when the size is within the envelope / not on TPU."""
+def _route_large(n: int, ndim: int, real: bool):
+    """Routing for transforms beyond the whole-array staged envelope on TPU.
+
+    Returns None (in-envelope / not TPU), a Mesh (multi-device sharded
+    handoff), or the string "oversize" (single-chip out-of-core path). Applies
+    to EVERY backend on TPU — including backend="xla", whose >2^25 program
+    hits the same compiler abort (advisor round-3 finding)."""
     if n <= (1 << MAX_SINGLE_CHIP_LOG2) or not _on_tpu():
         return None
-    from ..parallel.fft_sharded import real_sharded_eligible
+    if ndim != 1:
+        raise ValueError(
+            f"FFT size {n} exceeds the whole-array staged envelope"
+            f" (2^{MAX_SINGLE_CHIP_LOG2}) and the oversize/sharded handoffs"
+            f" take 1-D signals only (got ndim={ndim}); a batch of transforms"
+            f" this large does not fit HBM — loop over the batch instead.")
+    from ..parallel.fft_sharded import real_sharded_eligible, sharded_eligible
     from ..parallel.mesh import make_mesh
     d = len(jax.devices())
-    if d > 1 and ndim == 1 and real_sharded_eligible(n, d):
+    eligible = real_sharded_eligible if real else sharded_eligible
+    if d > 1 and eligible(n, d):
         return make_mesh(channel=1, block=d)
-    raise ValueError(
-        f"FFT size {n} exceeds the single-chip envelope (2^{MAX_SINGLE_CHIP_LOG2},"
-        f" measured: larger sizes abort the TPU compiler) and no multi-device"
-        f" handoff applies here ({d} device(s), ndim={ndim}; the automatic"
-        f" handoff needs a 1-D signal and a power-of-two device count). Use"
-        f" parallel.rfft_sharded/rifft_sharded over a mesh explicitly.")
-
-
-def _shard_large_complex(n: int, ndim: int):
-    if n <= (1 << MAX_SINGLE_CHIP_LOG2) or not _on_tpu():
-        return None
-    from ..parallel.fft_sharded import sharded_eligible
-    from ..parallel.mesh import make_mesh
-    d = len(jax.devices())
-    if d > 1 and ndim == 1 and sharded_eligible(n, d):
-        return make_mesh(channel=1, block=d)
-    raise ValueError(
-        f"FFT size {n} exceeds the single-chip envelope (2^{MAX_SINGLE_CHIP_LOG2},"
-        f" measured: larger sizes abort the TPU compiler) and no multi-device"
-        f" handoff applies here ({d} device(s), ndim={ndim}). Use"
-        f" parallel.fft_sharded over a mesh explicitly.")
+    return "oversize"
 
 
 # -----------------------------------------------------------------------------
@@ -175,11 +167,13 @@ def fft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> Tuple[ja
     n = re.shape[-1]
     _log2_size(n)
     resolved = _resolve(backend)
-    if resolved in ("matmul", "pallas"):
-        mesh = _shard_large_complex(n, re.ndim)
-        if mesh is not None:
-            from ..parallel.fft_sharded import fft_sharded
-            return fft_sharded(mesh, re, im)
+    route = _route_large(n, re.ndim, real=False)
+    if route == "oversize":
+        from .oversize import fft_split_oversize
+        return fft_split_oversize(re, im, inverse=False)
+    if route is not None:
+        from ..parallel.fft_sharded import fft_sharded
+        return fft_sharded(route, re, im)
     if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.fft_split(re, im, inverse=False)
@@ -215,11 +209,13 @@ def rfft(x: jax.Array, backend: Optional[str] = None) -> Tuple[jax.Array, jax.Ar
     if n == 1:
         raise ValueError("rfft requires N >= 2")
     resolved = _resolve(backend)
-    if resolved in ("matmul", "pallas"):
-        mesh = _shard_large_real(n, x.ndim)
-        if mesh is not None:
-            from ..parallel.fft_sharded import rfft_sharded
-            return rfft_sharded(mesh, x)
+    route = _route_large(n, x.ndim, real=True)
+    if route == "oversize":
+        from .oversize import rfft_packed_oversize
+        return rfft_packed_oversize(x)
+    if route is not None:
+        from ..parallel.fft_sharded import rfft_sharded
+        return rfft_sharded(route, x)
     if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.rfft_packed(x)
@@ -261,11 +257,13 @@ def rifft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> jax.Ar
     n = nbins * 2
     _log2_size(n)
     resolved = _resolve(backend)
-    if resolved in ("matmul", "pallas"):
-        mesh = _shard_large_real(n, re.ndim)
-        if mesh is not None:
-            from ..parallel.fft_sharded import rifft_sharded
-            return rifft_sharded(mesh, re, im)
+    route = _route_large(n, re.ndim, real=True)
+    if route == "oversize":
+        from .oversize import rifft_packed_oversize
+        return rifft_packed_oversize(re, im)
+    if route is not None:
+        from ..parallel.fft_sharded import rifft_sharded
+        return rifft_sharded(route, re, im)
     if resolved == "matmul":
         from . import matmul_fft
         return matmul_fft.rifft_packed(re, im)

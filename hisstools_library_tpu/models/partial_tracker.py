@@ -151,8 +151,10 @@ def process(config: TrackerConfig, state: TrackerState,
     # rounds (typically ~log: 3-5 for 16x16). `jnp.argmin` picks the first
     # minimum along its axis, which implements the flat-index tie-break
     # exactly (within a row lower j = lower flat index; within a column lower
-    # i = lower flat index) — matching the reference's stable sort over its
-    # peak-major cost generation order (PartialTracker.hpp:224-289).
+    # i = lower flat index) — the same deterministic order as this module's
+    # prior sequential-greedy form. (The reference sorts with std::sort,
+    # PartialTracker.hpp:224-289, so ITS tie order is implementation-defined;
+    # only the strict-inequality behavior is parity-checked.)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (pk, tr), 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (pk, tr), 1)
 

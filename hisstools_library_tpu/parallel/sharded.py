@@ -211,6 +211,18 @@ def n_to_one_offline(mesh: Mesh, scheme: mono_mod.PartitionScheme,
     return shard_fn(ir, x)
 
 
+def _chan_specs(tree):
+    """PartitionSpecs for an IR/state pytree in channel-parallel streaming.
+
+    Invariant: every non-scalar leaf of MonoIR/MonoState/MonoStreamState is
+    CHANNEL-MAJOR (leading dim = channels); scalar leaves (ring positions,
+    phase/pos counters) replicate. A future leaf that is per-section 1-D
+    (no channel dim) would be silently mis-sharded here — keep new state
+    leaves channel-major or extend this helper."""
+    return jax.tree.map(
+        lambda l: P() if jnp.ndim(l) == 0 else P(CHANNEL_AXIS), tree)
+
+
 def scheme_stream_sharded(mesh: Mesh, ir: mono_mod.MonoIR,
                           state: mono_mod.MonoState, x: jax.Array,
                           backend: Optional[str] = None
@@ -230,16 +242,10 @@ def scheme_stream_sharded(mesh: Mesh, ir: mono_mod.MonoIR,
         return mono_mod.process(ir_local, state_local, x_local,
                                 backend=backend)
 
-    def chan_specs(tree):
-        # Scalar leaves (the ring positions) replicate; arrays shard on the
-        # leading channel dim.
-        return jax.tree.map(
-            lambda l: P() if jnp.ndim(l) == 0 else P(CHANNEL_AXIS), tree)
-
     shard_fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(chan_specs(ir), chan_specs(state), P(CHANNEL_AXIS)),
-        out_specs=(chan_specs(state), P(CHANNEL_AXIS)),
+        in_specs=(_chan_specs(ir), _chan_specs(state), P(CHANNEL_AXIS)),
+        out_specs=(_chan_specs(state), P(CHANNEL_AXIS)),
         check_vma=False,
     )
     return shard_fn(ir, state, x)
@@ -265,14 +271,10 @@ def scheme_stream_any_sharded(mesh: Mesh, ir: mono_mod.MonoIR,
         return mono_mod.process_any(ir_local, state_local, x_local,
                                     backend=backend)
 
-    def chan_specs(tree):
-        return jax.tree.map(
-            lambda l: P() if jnp.ndim(l) == 0 else P(CHANNEL_AXIS), tree)
-
     shard_fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(chan_specs(ir), chan_specs(state), P(CHANNEL_AXIS)),
-        out_specs=(chan_specs(state), P(CHANNEL_AXIS)),
+        in_specs=(_chan_specs(ir), _chan_specs(state), P(CHANNEL_AXIS)),
+        out_specs=(_chan_specs(state), P(CHANNEL_AXIS)),
         check_vma=False,
     )
     return shard_fn(ir, state, x)

@@ -388,6 +388,59 @@ def test_large_fft_sharded_handoff(rng, monkeypatch):
     y = fft.rifft(re, im, backend="matmul")
     assert snr_db(2.0 * n * x.astype(np.float64), y) > 95.0
     # 2-D input cannot hand off -> the documented envelope error
-    with pytest.raises(ValueError, match="single-chip envelope"):
+    with pytest.raises(ValueError, match="staged envelope"):
         fft.rfft(jnp.asarray(rng.standard_normal((2, n)).astype(np.float32)),
                  backend="matmul")
+
+
+def test_large_fft_oversize_handoff(rng, monkeypatch):
+    """With ONE device above the staged envelope, the API routes 1-D transforms
+    to the single-chip out-of-core four-step (VERDICT r3 item 1 — the
+    reference runs 2^28 on one core, HISSTools_FFT.h:87-98). Envelope lowered
+    so the routing logic runs at test size; the oversize math itself is
+    size-independent (chunked fori_loop stages)."""
+    import jax as _jax
+
+    from hisstools_library_tpu.fft import api
+
+    monkeypatch.setattr(api, "MAX_SINGLE_CHIP_LOG2", 12)
+    monkeypatch.setattr(api, "_on_tpu", lambda: True)
+    one_dev = [_jax.devices("cpu")[0]]
+    monkeypatch.setattr(_jax, "devices", lambda *a: one_dev)
+    n = 1 << 13
+    x = rng.standard_normal(n).astype(np.float32)
+    re, im = fft.rfft(jnp.asarray(x), backend="matmul")
+    ore, oim = packed_oracle(x.astype(np.float64)[None])
+    assert snr_db(ore[0], re) > 95.0
+    assert snr_db(oim[0], im) > 95.0
+    y = fft.rifft(re, im, backend="matmul")
+    assert snr_db(2.0 * n * x.astype(np.float64), y) > 95.0
+    # complex route too
+    xi = rng.standard_normal(n).astype(np.float32)
+    fr, fi = fft.fft(jnp.asarray(x), jnp.asarray(xi), backend="matmul")
+    z = np.fft.fft(x.astype(np.float64) + 1j * xi.astype(np.float64))
+    assert snr_db(z.real, fr) > 95.0 and snr_db(z.imag, fi) > 95.0
+
+
+def test_oversize_fft_chunked_oracle(rng):
+    """fft/oversize.py chunked four-step vs numpy at forced small chunk sizes
+    (the identical code path the 2^26..2^28 single-chip transforms run)."""
+    from hisstools_library_tpu.fft import oversize
+
+    n = 1 << 12
+    x = rng.standard_normal(n)
+    y = rng.standard_normal(n)
+    for inverse in (False, True):
+        z = np.fft.ifft(x + 1j * y) * n if inverse else np.fft.fft(x + 1j * y)
+        fr, fi = oversize.fft_split_oversize(
+            jnp.asarray(x), jnp.asarray(y), inverse=inverse,
+            chunk_elems=1 << 9)
+        assert snr_db(z.real, fr) > 200.0
+        assert snr_db(z.imag, fi) > 200.0
+    re, im = oversize.rfft_packed_oversize(jnp.asarray(x), chunk_elems=1 << 9)
+    ore, oim = packed_oracle(x[None])
+    assert snr_db(ore[0], re) > 200.0 and snr_db(oim[0], im) > 200.0
+    back = oversize.rifft_packed_oversize(re, im, chunk_elems=1 << 9)
+    assert snr_db(2.0 * n * x, back) > 200.0
+    with pytest.raises(ValueError, match="1-D"):
+        oversize.fft_split_oversize(jnp.zeros((2, 64)), jnp.zeros((2, 64)))
