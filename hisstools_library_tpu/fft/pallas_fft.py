@@ -1202,6 +1202,91 @@ def _rfft_small(x: jax.Array, interpret: bool, mode: str):
             out[1].reshape(*lead, c).astype(x.dtype))
 
 
+# -- Windowed variants for fused STFT (ops/stft.py) ---------------------------
+# An analysis window is a diagonal left factor of the frame: (x*w) @ C ==
+# x @ (diag(w) C) — so the window (and on the inverse side the synthesis
+# window AND the 0.5/N scale) folds into the DFT tables for free, removing a
+# whole HBM pass over the frames. Built in f64 like the plain tables.
+# Reference composition: WindowFunctions.hpp windows applied around
+# hisstools_rfft/rifft, as Window_Tester + SpectralProcessor do.
+
+@lru_cache(maxsize=16)
+def _small_fwd_tables_windowed(n: int, wbytes: bytes):
+    w = np.frombuffer(wbytes, np.float64)[:, None]
+    t = np.arange(n, dtype=np.float64)[:, None]
+    k = np.arange(n // 2, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * t * k / n
+    cr = 2.0 * np.cos(ang) * w
+    ci = -2.0 * np.sin(ang) * w
+    ci[:, 0] = np.where((np.arange(n) % 2) == 0, 2.0, -2.0) * w[:, 0]
+    return cr.astype(np.float32), ci.astype(np.float32)
+
+
+@lru_cache(maxsize=16)
+def _small_inv_tables_windowed(n: int, wbytes: bytes, scale: float):
+    w = np.frombuffer(wbytes, np.float64)[None, :] * scale
+    k = np.arange(n // 2, dtype=np.float64)[:, None]
+    t = np.arange(n, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    ar = 2.0 * np.cos(ang)
+    ai = -2.0 * np.sin(ang)
+    ar[0, :] = 1.0
+    ai[0, :] = np.where((np.arange(n) % 2) == 0, 1.0, -1.0)
+    return (ar * w).astype(np.float32), (ai * w).astype(np.float32)
+
+
+def rfft_small_windowed(x: jax.Array, window64: np.ndarray,
+                        interpret: bool | None = None,
+                        mode: str | None = None):
+    """Packed rFFT of pre-framed rows with the analysis window folded into
+    the tables: rfft(x * window). None when the dense small path does not
+    serve this size (caller applies the window and uses the standard path).
+    N = 2048 is excluded: its folded kernels fold the INPUT before the
+    contraction, which does not commute with a per-sample window."""
+    n = x.shape[-1]
+    if not small_real_eligible(n) or n == 2048:
+        return None
+    if interpret is None:
+        interpret = _interpret_default()
+    mode = mode or _MODE
+    lead = x.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    a = x.reshape(b, n).astype(jnp.float32)
+    tabs = _small_fwd_tables_windowed(
+        n, np.ascontiguousarray(window64[:n], np.float64).tobytes())
+    out = _small_fwd_call(a, *tabs, interpret, mode)
+    if out is None:
+        return None
+    c = n // 2
+    return (out[0].reshape(*lead, c).astype(x.dtype),
+            out[1].reshape(*lead, c).astype(x.dtype))
+
+
+def rifft_small_windowed(re: jax.Array, im: jax.Array, window64: np.ndarray,
+                         scale: float, interpret: bool | None = None,
+                         mode: str | None = None):
+    """scale * rifft(spec) * window in one kernel (synthesis side of the
+    fused STFT). None when the dense small path does not serve the size."""
+    c = re.shape[-1]
+    n = c * 2
+    if not small_real_eligible(n) or n == 2048:
+        return None
+    if interpret is None:
+        interpret = _interpret_default()
+    mode = mode or _MODE
+    lead = re.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    ar = re.reshape(b, c).astype(jnp.float32)
+    ai = im.reshape(b, c).astype(jnp.float32)
+    tabs = _small_inv_tables_windowed(
+        n, np.ascontiguousarray(window64[:n], np.float64).tobytes(),
+        float(scale))
+    y = _small_inv_call(ar, ai, *tabs, interpret, mode)
+    if y is None:
+        return None
+    return y.reshape(*lead, n).astype(re.dtype)
+
+
 def _rifft_small(re: jax.Array, im: jax.Array, interpret: bool, mode: str):
     c = re.shape[-1]
     n = c * 2
@@ -1514,18 +1599,24 @@ def _fastfir_kernel(curb_ref, hre_hbm, him_hbm, *refs,
     prev_s[...] = curb_ref[0, g_hops - 1]
 
 
-def _fastfir_vmem(n: int, p: int) -> int:
-    """Tables + per-channel state + stage temporaries of the chain kernel."""
+def _fastfir_vmem(n: int, p: int, g: int = 1) -> int:
+    """Tables + per-channel state + stage temporaries of the chain kernel.
+
+    ``g`` hops per grid step scale BOTH the double-buffered io blocks and the
+    unrolled stage temporaries (scoped VMEM does not reuse temporaries across
+    unrolled iterations — the round-1 gotcha that made G=4 abort on hardware
+    while the g-blind model passed it)."""
     n1, n2 = _split_real(n)
     rows = _pad8(n2 // 2 + 1)
     tables = 4 * (2 * n1 * n1 + 2 * n1 * n2 + 3 * n2 * rows)      # fwd
     tables += 4 * (3 * (n2 // 2) * n2 + 2 * n1 * n2 + 2 * n1 * n1)  # inv
     state = 2 * 4 * p * (n // 2) * 2                               # H + ring
-    temps = 40 * n
+    state += 4 * (n // 2)                                          # prev_s
+    temps = 40 * n * g
     return tables + state + temps
 
 
-def fastfir_feasible(n: int, p: int) -> bool:
+def fastfir_feasible(n: int, p: int, g: int = 1) -> bool:
     """VMEM model for the whole-chain kernel: both table sets + the spectra
     scratch + the ring + stage temporaries. Requires n1 >= 128: the
     per-channel `.at[ci]` spectra DMA slices the (C, P, n2h, n1) array on a
@@ -1533,7 +1624,7 @@ def fastfir_feasible(n: int, p: int) -> bool:
     128 tile (measured: the Zero preset's <=4096 sections fail to compile)."""
     if not ((1 << 14) <= n <= MAX_SINGLE_REAL) or (n & (n - 1)):
         return False
-    return _fastfir_vmem(n, p) <= vmem_budget(13)
+    return _fastfir_vmem(n, p, g) <= vmem_budget(13)
 
 
 def _fastfir_pick_g(n: int, p: int, t: int) -> int:
@@ -1568,6 +1659,11 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
 
     g = int(os.environ.get("HISSTOOLS_FASTFIR_G", "0")) or \
         _fastfir_pick_g(n, p, t)
+    # Clamp a probing override through the g-aware VMEM model: unrolled hops
+    # do not reuse stage temporaries, so G multiplies them (G=4 aborted on
+    # hardware when the model ignored g).
+    while g > 1 and not fastfir_feasible(n, p, g):
+        g -= 1
     tp = -(-t // g) * g
     x4 = x2d.reshape(c, t, n1h, n2).astype(jnp.float32)
     if tp != t:
@@ -1619,15 +1715,23 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
 
 def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
                            ring_hbm_im, hre_hbm, him_hbm, *refs,
-                           n2h: int, p: int, t: int, scale: float, mode: str):
+                           n2h: int, p: int, t: int, scale: float, mode: str,
+                           lag0: bool):
+    if lag0:
+        l0re_hbm, l0im_hbm = refs[:2]
+        refs = refs[2:]
     fwd_hbm = refs[:7]
     inv_hbm = refs[7:14]
     y_ref = refs[14]
     oring_re = refs[15]
     oring_im = refs[16]
+    refs = refs[17:]
+    if lag0:
+        l0re_s, l0im_s = refs[:2]
+        refs = refs[2:]
     (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
      qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
-     hre_s, him_s, ring_re, ring_im, tsem, hsem, osem) = refs[17:]
+     hre_s, him_s, ring_re, ring_im, tsem, hsem, osem) = refs
     _load_tables_once(fwd_hbm + inv_hbm,
                       (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
                        qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
@@ -1642,6 +1746,11 @@ def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
                 pltpu.make_async_copy(him_hbm.at[ci], him_s, hsem.at[1]),
                 pltpu.make_async_copy(ring_hbm_re.at[ci], ring_re, hsem.at[2]),
                 pltpu.make_async_copy(ring_hbm_im.at[ci], ring_im, hsem.at[3])]
+        if lag0:
+            dmas += [pltpu.make_async_copy(l0re_hbm.at[ci], l0re_s,
+                                           hsem.at[4]),
+                     pltpu.make_async_copy(l0im_hbm.at[ci], l0im_s,
+                                           hsem.at[5])]
         for d in dmas:
             d.start()
         for d in dmas:
@@ -1649,17 +1758,10 @@ def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
 
     dot = _Dot(mode)
 
-    # -- causal MAC: virtual rows X_j; j < 0 live in the preloaded ring at
-    # slot j mod p (oldest-first state layout), j >= 0 at slot j mod p after
-    # this grid dimension's earlier writes — one uniform slot rule.
-    pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
-
-    # -- tail riFFT (identical to the offline kernel) ------------------------
-    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
-                     tail_from=y_ref.shape[-2])
-    y_ref[0, 0] = _tail_block(dot, pr, pi, *inv, scale=scale)
-
-    # -- forward rFFT, first hop's overlap from the carried previous block ---
+    # -- forward rFFT of this hop's [prev | cur] frame (first hop's overlap
+    # from the carried previous block). Runs BEFORE the MAC so the lag-0
+    # partition can use the hop's own spectrum; the ring insert still happens
+    # after the MAC reads the pre-insert state.
     nh = prevb_ref.shape[-2]
     f1r_lo = dot.lhs(f1r_s[...][:, :nh], 1)
     f1r_hi = dot.lhs(f1r_s[...][:, nh:], 1)
@@ -1670,23 +1772,68 @@ def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
     er, ei = _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
                         twr_s[...], twi_s[...], dot.lhs(f2r_s[...], 0),
                         dot.lhs(f2i_s[...], 0), dot.lhs(f2s_s[...], 0), n2h)
+
+    # -- causal MAC: virtual rows X_j; j < 0 live in the preloaded ring at
+    # slot j mod p (oldest-first state layout), j >= 0 at slot j mod p after
+    # this grid dimension's earlier writes — one uniform slot rule.
+    pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
+
+    if lag0:
+        # Zero-delay partition Y_t += X_t * lag0 on the hop's OWN spectrum —
+        # the collapsed non-uniform scheme's head+small-sections term
+        # (mono._process_block_collapsed). Packed lane [0, 0] multiplies
+        # DC*DC (re) and Nyquist*Nyquist (im) independently, like _ring_mac.
+        l0r = l0re_s[...]
+        l0i = l0im_s[...]
+        zr = er * l0r - ei * l0i
+        zi = er * l0i + ei * l0r
+        z0r = er[0:1, :] * l0r[0:1, :]
+        z0i = ei[0:1, :] * l0i[0:1, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, zr.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, zr.shape, 1)
+        lane0 = (rows == 0) & (cols == 0)
+        pr = pr + jnp.where(lane0, z0r, zr)
+        pi = pi + jnp.where(lane0, z0i, zi)
+
     _ring_insert(ring_re, ring_im, ti, p, er, ei)
+
+    # -- tail riFFT (identical to the offline kernel) ------------------------
+    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+                     tail_from=y_ref.shape[-2])
+    y_ref[0, 0] = _tail_block(dot, pr, pi, *inv, scale=scale)
 
     # -- last hop: emit the new ring, slot-normalised to oldest-first --------
     @pl.when(ti == t - 1)
     def _():
         # New state slot s must hold X_{t-p+s}, which lives at scratch slot
-        # (t + s) mod p: p small static copies through HBM DMA.
-        for s in range(p):
-            src = (t + s) % p
-            d1 = pltpu.make_async_copy(ring_re.at[src], oring_re.at[ci, s],
-                                       osem.at[0])
-            d2 = pltpu.make_async_copy(ring_im.at[src], oring_im.at[ci, s],
-                                       osem.at[1])
-            d1.start()
-            d2.start()
-            d1.wait()
-            d2.wait()
+        # (t + s) mod p — a rotation by r = t mod p, i.e. TWO contiguous
+        # DMAs per plane (the per-slot loop this replaces issued p serialized
+        # round trips per plane).
+        r = t % p
+        if r == 0:
+            dmas = [pltpu.make_async_copy(ring_re, oring_re.at[ci],
+                                          osem.at[0]),
+                    pltpu.make_async_copy(ring_im, oring_im.at[ci],
+                                          osem.at[1])]
+        else:
+            dmas = [
+                pltpu.make_async_copy(ring_re.at[pl.ds(r, p - r)],
+                                      oring_re.at[ci, pl.ds(0, p - r)],
+                                      osem.at[0]),
+                pltpu.make_async_copy(ring_im.at[pl.ds(r, p - r)],
+                                      oring_im.at[ci, pl.ds(0, p - r)],
+                                      osem.at[1]),
+                pltpu.make_async_copy(ring_re.at[pl.ds(0, r)],
+                                      oring_re.at[ci, pl.ds(p - r, r)],
+                                      osem.at[2]),
+                pltpu.make_async_copy(ring_im.at[pl.ds(0, r)],
+                                      oring_im.at[ci, pl.ds(p - r, r)],
+                                      osem.at[3]),
+            ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
 
 
 def fastfir_stream_feasible(n: int, p: int) -> bool:
@@ -1697,11 +1844,15 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
                          ring_re: jax.Array, ring_im: jax.Array,
                          h_re: jax.Array, h_im: jax.Array, scale: float,
                          interpret: bool | None = None,
-                         mode: str | None = None):
+                         mode: str | None = None,
+                         l0_re: jax.Array | None = None,
+                         l0_im: jax.Array | None = None):
     """Whole streaming process_block as one kernel. ``x2d``: (C, T, H) hop
     blocks; ``prev``: (C, H) the carried previous block; ``ring_*``:
-    (C, P, N/2) oldest-first spectra ring (pos == 0). Returns
-    (y (C, T, H), new_ring_re, new_ring_im) with the new ring oldest-first."""
+    (C, P, N/2) oldest-first spectra ring (pos == 0). ``l0_*``: optional
+    (C, N/2) packed zero-delay partition multiplied with each hop's OWN
+    spectrum (the collapsed scheme's block0). Returns (y (C, T, H),
+    new_ring_re, new_ring_im) with the new ring oldest-first."""
     c, t, hop = x2d.shape
     n = 2 * hop
     p = ring_re.shape[-2]
@@ -1710,6 +1861,7 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
     if interpret is None:
         interpret = _interpret_default()
     mode = mode or _MODE
+    lag0 = l0_re is not None
     fwd = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
     inv = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
 
@@ -1719,6 +1871,12 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
     r4_im = ring_im.reshape(c, p, n2h, n1).astype(jnp.float32)
     h4_re = h_re.reshape(c, p, n2h, n1).astype(jnp.float32)
     h4_im = h_im.reshape(c, p, n2h, n1).astype(jnp.float32)
+    l0 = ()
+    l0_scratch = []
+    if lag0:
+        l0 = (l0_re.reshape(c, n2h, n1).astype(jnp.float32),
+              l0_im.reshape(c, n2h, n1).astype(jnp.float32))
+        l0_scratch = [pltpu.VMEM((n2h, n1), jnp.float32)] * 2
 
     prev_spec = pl.BlockSpec((1, 1, n1h, n2),
                              lambda ci, i: (ci, jnp.maximum(i - 1, 0), 0, 0),
@@ -1731,29 +1889,30 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
                           memory_space=pltpu.VMEM)
     y, nr_re, nr_im = pl.pallas_call(
         partial(_fastfir_stream_kernel, n2h=n2h, p=p, t=t,
-                scale=float(scale), mode=mode),
+                scale=float(scale), mode=mode, lag0=lag0),
         grid=(c, t),
         compiler_params=_seq_grid(2),
         in_specs=[prev_spec, cur_spec, pst_spec] + _hbm_specs(4)
-                 + _hbm_specs(14),
+                 + _hbm_specs(2 if lag0 else 0) + _hbm_specs(14),
         out_specs=[y_spec, pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
         out_shape=[jax.ShapeDtypeStruct((c, t, n1h, n2), jnp.float32),
                    jax.ShapeDtypeStruct((c, p, n2h, n1), jnp.float32),
                    jax.ShapeDtypeStruct((c, p, n2h, n1), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in fwd] +
+        scratch_shapes=l0_scratch +
+                       [pltpu.VMEM(tb.shape, jnp.float32) for tb in fwd] +
                        [pltpu.VMEM(tb.shape, jnp.float32) for tb in inv] +
                        [pltpu.VMEM((p, n2h, n1), jnp.float32)] * 4 +
                        [pltpu.SemaphoreType.DMA((14,)),
-                        pltpu.SemaphoreType.DMA((4,)),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((6,)),
+                        pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=c * t * (6 * n1 * n1 * n2 + 16 * n1 * n2 * n2h
                            + 8 * p * (n // 2)),
             bytes_accessed=4 * c * (2 * t * hop + 4 * p * (n // 2)),
             transcendentals=0),
-    )(x4, x4, pv4, r4_re, r4_im, h4_re, h4_im, *fwd, *inv)
+    )(x4, x4, pv4, r4_re, r4_im, h4_re, h4_im, *l0, *fwd, *inv)
     # Preserve the caller's dtypes: the kernel computes in f32; a bf16/f16
     # state carried through lax.scan must come back in its own dtype.
     return (y.reshape(c, t, hop).astype(x2d.dtype),

@@ -469,22 +469,38 @@ class PartitionedConvolve:
             (state.ring.re, state.ring.im))
 
         # Whole-chain streaming mega-kernel (pallas_fft.fastfir_chain_stream):
-        # rFFT -> preloaded spectra ring -> MAC -> tail riFFT in ONE kernel,
+        # rFFT -> preloaded spectra ring -> MAC (+ the lag-0 zero-delay
+        # partition on the hop's own spectrum) -> tail riFFT in ONE kernel,
         # emitting both the outputs and the slot-normalised new ring.
+        #
+        # With lag0 (the collapsed Zero-preset block path) the kernel is
+        # OPT-IN (HISSTOOLS_STREAM_MEGA=1): measured round 4 on v5e at the
+        # stream-bench shape (C=128, N=16384, P=58, T=16) it runs 17.5
+        # ms/pass vs 15.25 for the staged chain below — the hop-sequential
+        # grid (2048 tiny steps) pays more per-step skeleton than it saves
+        # in HBM traffic at streaming hop sizes. docs/ROADMAP.md dead end 8.
         lead_n = int(np.prod(lead)) if lead else 1
+        mega_ok = (lag0 is None
+                   or os.environ.get("HISSTOOLS_STREAM_MEGA", "0") == "1")
         if (backend == "pallas" and mac_backend in ("auto", "pallas")
-                and x.dtype != jnp.float64 and lag0 is None
+                and x.dtype != jnp.float64 and mega_ok
                 and os.environ.get("HISSTOOLS_FASTFIR_CHAIN", "1") != "0"
                 and pallas_fft.fastfir_stream_feasible(n, p)):
             hr_b = jnp.broadcast_to(spectra.re, lead + (p, h)
                                     ).reshape(lead_n, p, h)
             hi_b = jnp.broadcast_to(spectra.im, lead + (p, h)
                                     ).reshape(lead_n, p, h)
+            l0r = l0i = None
+            if lag0 is not None:
+                l0r = jnp.broadcast_to(lag0.re, lead + (1, h)
+                                       ).reshape(lead_n, h)
+                l0i = jnp.broadcast_to(lag0.im, lead + (1, h)
+                                       ).reshape(lead_n, h)
             y, nr, ni = pallas_fft.fastfir_chain_stream(
                 blocks.reshape(lead_n, t, h),
                 state.prev.reshape(lead_n, h),
                 hist0_re.reshape(lead_n, p, h), hist0_im.reshape(lead_n, p, h),
-                hr_b, hi_b, scale=1.0 / (4.0 * n))
+                hr_b, hi_b, scale=1.0 / (4.0 * n), l0_re=l0r, l0_im=l0i)
             new_state = PartitionedState(
                 prev=blocks[..., -1, :],
                 ring=Split(nr.reshape(lead + (p, h)),

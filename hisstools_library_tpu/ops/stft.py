@@ -9,6 +9,14 @@ over channels and frames, with the library's packed-spectrum convention so every
 - :func:`stft`  — frame, window, rfft -> packed Split (..., frames, N/2)
 - :func:`istft` — rifft, synthesis window, overlap-add with COLA normalisation
   (least-squares inversion: divide by the summed squared window)
+
+TPU structure (round 4): when the hop divides the FFT size, framing is m =
+N/hop shifted hop-block slices (a gather on a (T, N) index map lowered ~6x
+slower on hardware) and overlap-add is m shifted block adds (XLA's scatter-add
+serializes on TPU). On the pallas backend the analysis window folds INTO the
+dense small-N DFT tables ((x*w) @ C == x @ diag(w)C) and the synthesis window
++ 0.5/N scale fold into the inverse tables — no separate window pass exists in
+HBM at all (pallas_fft.rfft_small_windowed / rifft_small_windowed).
 """
 
 from __future__ import annotations
@@ -27,6 +35,21 @@ def num_frames(length: int, fft_size: int, hop: int) -> int:
     return max(0, 1 + (length - fft_size) // hop) if length >= fft_size else 0
 
 
+def _pallas_eligible(backend: Optional[str], dtype) -> bool:
+    return (fft_api._resolve(backend) == "pallas"
+            and dtype != jnp.float64)
+
+
+def _frame_blocks(x: jax.Array, fft_size: int, hop: int, t: int) -> jax.Array:
+    """(..., L) -> (..., T, N) overlapping frames via m shifted hop-block
+    slices (requires hop | fft_size and hop | L)."""
+    m = fft_size // hop
+    lead = x.shape[:-1]
+    blocks = x.reshape(*lead, x.shape[-1] // hop, hop)
+    return jnp.concatenate([blocks[..., k:k + t, :] for k in range(m)],
+                           axis=-1)
+
+
 def stft(x: jax.Array, window, fft_size: int, hop: int,
          pad: bool = True, boundary: bool = False,
          backend: Optional[str] = None) -> Split:
@@ -35,7 +58,8 @@ def stft(x: jax.Array, window, fft_size: int, hop: int,
     signal is zero-padded so every sample is covered by a whole frame; with
     ``boundary`` it is additionally padded by ``fft_size - hop`` on the left so
     edge samples get full window coverage (pass the same flag to :func:`istft`)."""
-    w = jnp.asarray(np.asarray(window, np.float64)[:fft_size], x.dtype)
+    w64 = np.asarray(window, np.float64)[:fft_size]
+    w = jnp.asarray(w64, x.dtype)
     L = x.shape[-1]
     if boundary:
         lead_pad = fft_size - hop
@@ -47,10 +71,18 @@ def stft(x: jax.Array, window, fft_size: int, hop: int,
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, total - L)])
         L = total
     t = num_frames(L, fft_size, hop)
-    starts = np.arange(t) * hop
-    idx = starts[:, None] + np.arange(fft_size)[None, :]
-    frames = x[..., idx] * w  # (..., T, N)
-    return Split(*fft_api.rfft(frames, backend=backend))
+    if fft_size % hop == 0 and L % hop == 0 and t > 0:
+        frames = _frame_blocks(x, fft_size, hop, t)
+        if _pallas_eligible(backend, x.dtype):
+            from ..fft import pallas_fft
+            out = pallas_fft.rfft_small_windowed(frames, w64)
+            if out is not None:
+                return Split(*out)
+    else:
+        starts = np.arange(t) * hop
+        idx = starts[:, None] + np.arange(fft_size)[None, :]
+        frames = x[..., idx]
+    return Split(*fft_api.rfft(frames * w, backend=backend))
 
 
 def istft(spec: Split, window, hop: int, length: Optional[int] = None,
@@ -65,16 +97,35 @@ def istft(spec: Split, window, hop: int, length: Optional[int] = None,
     w64 = np.asarray(window, np.float64)[:n]
     w = jnp.asarray(w64, spec.dtype)
 
-    frames = fft_api.rifft(spec.re, spec.im, backend=backend) * (0.5 / n)
-    frames = frames * w  # synthesis window
+    frames = None
+    if _pallas_eligible(backend, spec.dtype):
+        from ..fft import pallas_fft
+        frames = pallas_fft.rifft_small_windowed(spec.re, spec.im, w64,
+                                                 0.5 / n)
+    if frames is None:
+        frames = fft_api.rifft(spec.re, spec.im, backend=backend) * (0.5 / n)
+        frames = frames * w  # synthesis window
 
     total = (t - 1) * hop + n
-    # Overlap-add via scatter-add on a static index map.
-    starts = np.arange(t) * hop
-    idx = starts[:, None] + np.arange(n)[None, :]  # (T, N)
     lead = frames.shape[:-2]
-    y = jnp.zeros(lead + (total,), frames.dtype)
-    y = y.at[..., idx.reshape(-1)].add(frames.reshape(lead + (t * n,)))
+    starts = np.arange(t) * hop
+    if n % hop == 0:
+        # Overlap-add as m shifted block adds: output block b receives
+        # frames[b - k][k*hop : (k+1)*hop] for k = 0..m-1.
+        m = n // hop
+        parts = frames.reshape(lead + (t, m, hop))
+        tb = t + m - 1
+        pads = [(0, 0)] * len(lead) + [(0, 0), (0, 0)]
+        y = jnp.zeros(lead + (tb, hop), frames.dtype)
+        for k in range(m):
+            y = y + jnp.pad(parts[..., k, :],
+                            pads[:-2] + [(k, m - 1 - k), (0, 0)])
+        y = y.reshape(lead + (total,))
+    else:
+        # General hop: scatter-add on a static index map.
+        idx = starts[:, None] + np.arange(n)[None, :]  # (T, N)
+        y = jnp.zeros(lead + (total,), frames.dtype)
+        y = y.at[..., idx.reshape(-1)].add(frames.reshape(lead + (t * n,)))
 
     # COLA normalisation envelope (host-side, static).
     env = np.zeros(total)

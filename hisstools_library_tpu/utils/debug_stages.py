@@ -183,6 +183,235 @@ def stage_report(ir, x, fft_size: Optional[int] = None,
     return report
 
 
+# -- the streaming chains ------------------------------------------------------
+
+def stream_stage_report(ir, x_warm, x_block, scheme=None,
+                        backend: Optional[str] = None,
+                        mac_backend: str = "auto") -> List[StageSNR]:
+    """Per-stage SNR of the STREAMING engines (round-4: the collapsed
+    hop-aligned block path and the sample-granular sub-hop path), mirroring
+    :func:`stage_report`'s discipline: each stage's f32 side runs the
+    framework's own dispatch, fed the SAME inputs as an f64 numpy mirror, so
+    a streaming-only accuracy regression localises to its stage.
+
+    ``ir``: (..., L_ir); ``x_warm``/``x_block``: (..., B) hop-aligned blocks
+    (B = multiple of the scheme's largest hop). Stages:
+
+    - ``frame_rfft``       hop-frame spectra from the carried prev block
+    - ``ring_mac``         the block lag MAC over the carried ring
+                           (pallas_kernels.lag_mac_ring or the XLA dispatch)
+    - ``lag0_product``     the collapsed scheme's zero-delay partition
+    - ``rifft_tail``       scaled tail riFFT (fused kernel when eligible)
+    - ``section_refresh``  non-final-section state rebuild (mono.
+                           _refresh_aligned_section)
+    - ``collapsed_output`` mono.process end-to-end vs f64 direct conv
+    - ``subhop_fire``      one sample-granular hop firing (hop_fire kernel /
+                           _fire dispatch) vs its f64 mirror
+    - ``subhop_doling``    ragged-callback staging/doling vs one whole-block
+                           process_any call (pure data movement — near-exact)
+    """
+    from ..core.types import Split as S, packed_mul
+    from ..fft import api as fft_api
+    from ..fft import pallas_fft
+    from ..fft import pallas_kernels as pk
+    from ..models import mono
+    from ..models import partitioned as part
+    from ..models.mono import LatencyMode, PartitionScheme
+
+    if scheme is None:
+        scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+    ir = np.asarray(ir)
+    xw = np.asarray(jax.device_get(x_warm), np.float64)
+    xb = np.asarray(jax.device_get(x_block), np.float64)
+    lead = xb.shape[:-1]
+    B = xb.shape[-1]
+
+    mir = mono.prepare_ir(scheme, ir, dtype=jnp.float32, backend=backend,
+                          offline_tail=False)
+    state0 = mono.init_state(scheme, mir, batch_shape=lead)
+    state1, _ = mono.process(mir, state0, jnp.asarray(xw, jnp.float32),
+                             backend=backend)
+
+    report: List[StageSNR] = []
+    spec = mir.spectra[-1]
+    st = state1.sections[-1]
+    h = spec.shape[-1]
+    n = 2 * h
+    p = spec.shape[-2]
+    t = B // h
+
+    # Shared f64-exact inputs (the framework's own carried state values).
+    prev64 = np.asarray(jax.device_get(st.prev), np.float64)
+    ring_re64 = np.asarray(jax.device_get(st.ring.re), np.float64)
+    ring_im64 = np.asarray(jax.device_get(st.ring.im), np.float64)
+    h_re64 = np.broadcast_to(np.asarray(jax.device_get(spec.re), np.float64),
+                             lead + (p, h))
+    h_im64 = np.broadcast_to(np.asarray(jax.device_get(spec.im), np.float64),
+                             lead + (p, h))
+
+    # Stage 1: hop-frame rFFT from the carried previous block.
+    blocks64 = xb.reshape(lead + (t, h))
+    prev_rows64 = np.concatenate([prev64[..., None, :], blocks64[..., :-1, :]],
+                                 axis=-2)
+    frames64 = np.concatenate([prev_rows64, blocks64], axis=-1)
+    xre, xim = fft_api.rfft(jnp.asarray(frames64, jnp.float32),
+                            backend=backend)
+    xre64, xim64 = packed_rfft64(frames64)
+    report.append(StageSNR(
+        "frame_rfft", min(snr_db(xre64, xre), snr_db(xim64, xim))))
+
+    # Stage 2: the block ring MAC (process_block's dispatch), f64-exact feeds.
+    lead_n = int(np.prod(lead)) if lead else 1
+    fr32 = lambda a: jnp.asarray(a, jnp.float32).reshape((lead_n,)
+                                                         + a.shape[len(lead):])
+    if mac_backend in ("auto", "pallas") and pk.lag_mac_ring_fits(t, p, h):
+        acc_re, acc_im, _, _ = pk.lag_mac_ring(
+            fr32(ring_re64), fr32(ring_im64), fr32(xre64), fr32(xim64),
+            fr32(h_re64), fr32(h_im64),
+            interpret=jax.default_backend() == "cpu")
+        acc_re = acc_re.reshape(lead + (t, h))
+        acc_im = acc_im.reshape(lead + (t, h))
+    else:
+        xp_re = jnp.concatenate([jnp.asarray(ring_re64, jnp.float32),
+                                 jnp.asarray(xre64, jnp.float32)], axis=-2)
+        xp_im = jnp.concatenate([jnp.asarray(ring_im64, jnp.float32),
+                                 jnp.asarray(xim64, jnp.float32)], axis=-2)
+        acc_re, acc_im = part._lag_mac_dispatch(
+            xp_re, xp_im, jnp.asarray(h_re64, jnp.float32),
+            jnp.asarray(h_im64, jnp.float32), t, mac_backend)
+    acc_re64 = np.zeros(lead + (t, h))
+    acc_im64 = np.zeros(lead + (t, h))
+    virt_re = np.concatenate([ring_re64, xre64], axis=-2)  # rows j-p..t-1
+    virt_im = np.concatenate([ring_im64, xim64], axis=-2)
+    for lag in range(p):
+        rows_re = virt_re[..., p - 1 - lag:p - 1 - lag + t, :]
+        rows_im = virt_im[..., p - 1 - lag:p - 1 - lag + t, :]
+        a, b = packed_mul64(rows_re, rows_im, h_re64[..., lag:lag + 1, :],
+                            h_im64[..., lag:lag + 1, :])
+        acc_re64 += a
+        acc_im64 += b
+    report.append(StageSNR(
+        "ring_mac", min(snr_db(acc_re64, acc_re), snr_db(acc_im64, acc_im))))
+
+    # Stage 3: the collapsed scheme's zero-delay (lag0 / block0) partition.
+    if mir.block0 is not None:
+        l0_re64 = np.asarray(jax.device_get(mir.block0.re), np.float64)
+        l0_im64 = np.asarray(jax.device_get(mir.block0.im), np.float64)
+        prod = packed_mul(S(jnp.asarray(xre64, jnp.float32),
+                            jnp.asarray(xim64, jnp.float32)),
+                          S(jnp.asarray(l0_re64, jnp.float32),
+                            jnp.asarray(l0_im64, jnp.float32)))
+        pr64, pi64 = packed_mul64(xre64, xim64, l0_re64, l0_im64)
+        report.append(StageSNR(
+            "lag0_product", min(snr_db(pr64, prod.re), snr_db(pi64, prod.im))))
+        acc_re64 = acc_re64 + pr64
+        acc_im64 = acc_im64 + pi64
+
+    # Stage 4: scaled tail riFFT (the fused kernel when the engine uses it).
+    scale = 1.0 / (4.0 * n)
+    if (backend == "pallas" and pallas_fft.stream_feasible(n)):
+        y32 = pallas_fft.rifft_packed_tail(
+            jnp.asarray(acc_re64, jnp.float32),
+            jnp.asarray(acc_im64, jnp.float32), scale=scale)
+    else:
+        y32 = fft_api.rifft(jnp.asarray(acc_re64, jnp.float32),
+                            jnp.asarray(acc_im64, jnp.float32),
+                            backend=backend)[..., h:] * scale
+    y64 = packed_rifft64(acc_re64, acc_im64)[..., h:] * scale
+    report.append(StageSNR("rifft_tail", snr_db(y64, y32)))
+
+    # Stage 5: non-final-section refresh (the collapsed path's handoff prep).
+    if len(mir.spectra) > 1:
+        worst = float("inf")
+        tail32 = jnp.asarray(xb[..., -h:], jnp.float32)
+        tail64 = xb[..., -h:]
+        for sp in mir.spectra[:-1]:
+            hs = sp.shape[-1]
+            ns = 2 * hs
+            ps = sp.shape[-2]
+            bs = tail64.shape[-1]
+            stf = mono._refresh_aligned_section(sp, tail32, backend)
+            f64 = np.stack(
+                [tail64[..., bs - (ps - 1 - k) * hs - ns:
+                        bs - (ps - 1 - k) * hs or None] for k in range(ps)],
+                axis=-2)
+            rre, rim = packed_rfft64(f64)
+            worst = min(worst, snr_db(rre, stf.ring.re),
+                        snr_db(rim, stf.ring.im))
+        report.append(StageSNR("section_refresh", worst))
+
+    # Stage 6: the collapsed block end to end vs f64 direct convolution.
+    _, out = mono.process(mir, state1, jnp.asarray(xb, jnp.float32),
+                          backend=backend)
+    full = np.concatenate([xw, xb], axis=-1)
+    ref = _direct_conv64(full, ir)[..., xw.shape[-1]:xw.shape[-1] + B]
+    lat = scheme.latency
+    if lat:
+        ref = _direct_conv64(full, ir)
+        ref = np.pad(ref, [(0, 0)] * (ref.ndim - 1) + [(lat, 0)])[
+            ..., xw.shape[-1]:xw.shape[-1] + B]
+    report.append(StageSNR("collapsed_output", snr_db(ref, jax.device_get(out))))
+
+    # Stage 7: one sample-granular hop firing of the SMALLEST section
+    # (the hop_fire kernel path) vs its f64 mirror.
+    sp0 = mir.spectra[0]
+    hs = sp0.shape[-1]
+    ns = 2 * hs
+    ps = sp0.shape[-2]
+    st0 = mono._refresh_aligned_section(sp0, jnp.asarray(xb, jnp.float32),
+                                        backend)
+    ss = part.PartitionedConvolve.stream_from_aligned(sp0, st0, backend)
+    xfire = jnp.asarray(xb[..., :hs], jnp.float32)
+    ss2, _ = part.PartitionedConvolve.step_any(sp0, ss, xfire, backend)
+    # f64 mirror of _fire: insert the frame spectrum at slot pos, advance,
+    # then emit with the step() slot mapping.
+    win64 = np.asarray(jax.device_get(ss.win), np.float64)
+    r0re = np.asarray(jax.device_get(ss.ring.re), np.float64)
+    r0im = np.asarray(jax.device_get(ss.ring.im), np.float64)
+    fre, fim = packed_rfft64(np.concatenate([win64[..., hs:], xb[..., :hs]],
+                                            axis=-1))
+    r0re = np.concatenate([fre[..., None, :], r0re[..., 1:, :]], axis=-2) \
+        if ps > 1 else fre[..., None, :]
+    r0im = np.concatenate([fim[..., None, :], r0im[..., 1:, :]], axis=-2) \
+        if ps > 1 else fim[..., None, :]
+    pos1 = 1 % ps
+    h0re = np.broadcast_to(np.asarray(jax.device_get(sp0.re), np.float64),
+                           lead + (ps, hs))
+    h0im = np.broadcast_to(np.asarray(jax.device_get(sp0.im), np.float64),
+                           lead + (ps, hs))
+    # emit with step()'s slot mapping: slot s holds lag (pos - 1 - s) mod P
+    a64 = np.zeros(lead + (hs,))
+    b64 = np.zeros(lead + (hs,))
+    for s in range(ps):
+        lag = int((pos1 - 1 - s) % ps)
+        aa, bb = packed_mul64(r0re[..., s, :], r0im[..., s, :],
+                              h0re[..., lag, :], h0im[..., lag, :])
+        a64 += aa
+        b64 += bb
+    fire64 = packed_rifft64(a64, b64)[..., hs:] * (1.0 / (4.0 * ns))
+    report.append(StageSNR("subhop_fire", snr_db(fire64, ss2.out_buf)))
+
+    # Stage 8: ragged staging/doling vs one whole-block call (data movement
+    # only — both sides run the same engine, so this is near-exact).
+    sstate = mono.stream_state_from_aligned(mir, state1, backend)
+    _, y_whole = mono.process_any(mir, sstate, jnp.asarray(xb, jnp.float32),
+                                  backend=backend)
+    cuts = [0, 7, 7 + 64, 7 + 64 + 1000, B // 2, B]
+    cuts = sorted(set(min(c, B) for c in cuts))
+    srag = sstate
+    pieces = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if b > a:
+            srag, yp = mono.process_any(
+                mir, srag, jnp.asarray(xb[..., a:b], jnp.float32),
+                backend=backend)
+            pieces.append(jax.device_get(yp))
+    y_rag = np.concatenate(pieces, axis=-1)
+    report.append(StageSNR("subhop_doling",
+                           snr_db(jax.device_get(y_whole), y_rag)))
+    return report
+
+
 def _direct_conv64(x: np.ndarray, ir: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float64)
     ir = np.asarray(ir, np.float64)

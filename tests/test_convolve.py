@@ -503,6 +503,58 @@ def test_fastfir_stream_chain_matches_step_scan(rng, mode):
     assert nr.shape == (c, P, n // 2)
 
 
+@pytest.mark.parametrize("mode", ["highest", "bf16x3"])
+def test_fastfir_stream_chain_lag0_matches_staged(rng, mode):
+    """The mega-kernel's zero-delay (lag0) partition must match the staged
+    process_block path bit-for-bit in semantics: same hops, same ring state,
+    same block0 spectrum — the collapsed Zero-preset streaming path
+    (mono._process_block_collapsed) rides this. Reference semantics:
+    MonoConvolve.cpp:179-201 (the summed multi-section process)."""
+    import jax.numpy as jnp
+    from hisstools_library_tpu.fft import pallas_fft as pf
+    from hisstools_library_tpu.models import partitioned as part
+    from hisstools_library_tpu.core.types import Split as S
+
+    n, hop, c, t = 2048, 1024, 2, 6
+    ir = (rng.standard_normal(4 * hop - 100) * 0.3).astype(np.float32)
+    spec = part.impulse_spectra(ir[None], n, 0, 0)
+    P = spec.shape[-2]
+    l0 = part.impulse_spectra(
+        (rng.standard_normal(hop) * 0.2).astype(np.float32)[None], n, 0, 0)
+    x = rng.standard_normal((c, t * hop)).astype(np.float32)
+
+    st = part.PartitionedState(
+        prev=jnp.asarray(rng.standard_normal((c, hop)), jnp.float32),
+        ring=S(jnp.asarray(rng.standard_normal((c, P, n // 2)), jnp.float32) * .1,
+               jnp.asarray(rng.standard_normal((c, P, n // 2)), jnp.float32) * .1),
+        pos=jnp.zeros((), jnp.int32))
+
+    # Staged reference: force the non-kernel path.
+    import os
+    os.environ["HISSTOOLS_FASTFIR_CHAIN"] = "0"
+    try:
+        st_ref, y_ref = part.PartitionedConvolve.process_block(
+            S(spec.re[0], spec.im[0]), st, jnp.asarray(x),
+            backend="pallas", lag0=S(l0.re, l0.im))
+    finally:
+        del os.environ["HISSTOOLS_FASTFIR_CHAIN"]
+    pf.set_mode(mode)
+    os.environ["HISSTOOLS_STREAM_MEGA"] = "1"  # kernel path is opt-in
+    try:
+        st_k, y_k = part.PartitionedConvolve.process_block(
+            S(spec.re[0], spec.im[0]), st, jnp.asarray(x),
+            backend="pallas", lag0=S(l0.re, l0.im))
+    finally:
+        pf.set_mode("highest")
+        del os.environ["HISSTOOLS_STREAM_MEGA"]
+    assert snr_db(np.asarray(y_ref), np.asarray(y_k)) > (
+        110.0 if mode == "highest" else 95.0)
+    assert snr_db(np.asarray(st_ref.ring.re), np.asarray(st_k.ring.re)) > (
+        110.0 if mode == "highest" else 95.0)
+    assert int(st_k.pos) == 0
+    np.testing.assert_allclose(np.asarray(st_k.prev), x[:, -hop:], atol=1e-6)
+
+
 def test_process_block_chain_path_preserves_dtype(rng):
     """The fastfir_chain_stream fast path must hand back the ring state and
     output in the CALLER's dtype (a bf16 state carried through lax.scan would

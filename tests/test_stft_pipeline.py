@@ -31,6 +31,32 @@ def test_stft_istft_roundtrip(rng, win, hop):
     assert snr_db(x, y) > 140
 
 
+@pytest.mark.parametrize("mode", ["highest", "bf16x3"])
+def test_stft_pallas_windowed_path(rng, mode):
+    """The fused windowed-table kernels (pallas_fft.rfft_small_windowed /
+    rifft_small_windowed — window and 0.5/N scale folded into the DFT tables)
+    must match the staged XLA path: same spectra, same resynthesis."""
+    from hisstools_library_tpu.fft import pallas_fft
+
+    n, hop, L = 1024, 512, 8192
+    x = rng.standard_normal((2, L)).astype(np.float32)
+    w = np.asarray(windows.hann(n - 1, dtype=jnp.float64))
+    S_ref = stft_mod.stft(jnp.asarray(x), w, n, hop, boundary=True)
+    y_ref = stft_mod.istft(S_ref, w, hop, length=L, boundary=True)
+    pallas_fft.set_mode(mode)
+    try:
+        S = stft_mod.stft(jnp.asarray(x), w, n, hop, boundary=True,
+                          backend="pallas")
+        y = stft_mod.istft(S, w, hop, length=L, boundary=True,
+                           backend="pallas")
+    finally:
+        pallas_fft.set_mode("highest")
+    floor = 110.0 if mode == "highest" else 90.0
+    assert snr_db(np.asarray(S_ref.re), np.asarray(S.re)) > floor
+    assert snr_db(np.asarray(y_ref), np.asarray(y)) > floor
+    assert snr_db(x, np.asarray(y)) > floor
+
+
 def test_stft_batched_channels(rng):
     n, hop, L = 512, 128, 4096
     x = rng.standard_normal((3, L))

@@ -53,7 +53,7 @@ def main(argv=None):
     n_cases = 0
     failures = []
 
-    def check(tag, ref, test, cfg, raw=None):
+    def check(tag, ref, test, cfg, raw=None, stream_raw=None):
         nonlocal n_cases
         n_cases += 1
         ref = np.asarray(ref, np.float64)
@@ -69,6 +69,20 @@ def main(argv=None):
                 ir_raw, x_raw = raw
                 rep = debug_stages.stage_report(ir_raw, x_raw,
                                                 backend="pallas")
+                print(debug_stages.format_report(rep), flush=True)
+            if args.stages and stream_raw is not None:
+                # Streaming failure: localise with the streaming stage
+                # mirrors (round-4 — frame_rfft/ring_mac/lag0/rifft_tail/
+                # refresh/subhop_fire/subhop_doling).
+                from hisstools_library_tpu.utils import debug_stages
+                ir_raw, x_raw, sch = stream_raw
+                B = sch.sizes[-1] >> 1
+                pad = max(0, 2 * B - x_raw.shape[-1])
+                x2 = np.pad(np.asarray(x_raw, np.float32),
+                            [(0, 0)] * (x_raw.ndim - 1) + [(0, pad)])
+                rep = debug_stages.stream_stage_report(
+                    ir_raw, x2[..., :B], x2[..., B:2 * B], scheme=sch,
+                    backend="pallas")
                 print(debug_stages.format_report(rep), flush=True)
 
     while time.time() < deadline:
@@ -155,7 +169,8 @@ def main(argv=None):
                                          ir[k].astype(np.float64))[:i]
                              for k in range(c)])
             cfg = f"subhop {sizes} c={c} Ls={i} ir={irl}"
-            check("subhop_any_blocks", refs, y, cfg)
+            check("subhop_any_blocks", refs, y, cfg,
+                  stream_raw=(ir, xs, scheme))
         else:
             sizes = (256, 1024)
             scheme = PartitionScheme(sizes, zero_latency=True)
@@ -173,7 +188,8 @@ def main(argv=None):
                                          ir[i].astype(np.float64))[:Ls]
                              for i in range(c)])
             cfg = f"stream c={c} Ls={Ls} ir={irl} cut={cut}"
-            check("streaming", refs, y, cfg, raw=(ir, xs))
+            check("streaming", refs, y, cfg,
+                  stream_raw=(ir, xs, scheme))
 
     print(f"\n{n_cases} cases, {len(failures)} failures", flush=True)
     if failures:
