@@ -1511,7 +1511,7 @@ def rifft_packed_tail(re: jax.Array, im: jax.Array, scale: float = 1.0,
 
 def _fastfir_kernel(curb_ref, hre_hbm, him_hbm, *refs,
                     n2h: int, p: int, g_hops: int, scale: float, mode: str,
-                    ablate: tuple = ()):
+                    ablate: tuple = (), prefetch: bool = False):
     fwd_hbm = refs[:7]
     inv_hbm = refs[7:14]
     y_ref = refs[14]
@@ -1525,18 +1525,60 @@ def _fastfir_kernel(curb_ref, hre_hbm, him_hbm, *refs,
     ci = pl.program_id(0)
     tj = pl.program_id(1)
 
-    @pl.when(tj == 0)
-    def _():
-        # New channel: fetch its impulse spectra, clear the ring + history.
-        d1 = pltpu.make_async_copy(hre_hbm.at[ci], hre_s, hsem.at[0])
-        d2 = pltpu.make_async_copy(him_hbm.at[ci], him_s, hsem.at[1])
-        d1.start()
-        d2.start()
-        ring_re[...] = jnp.zeros_like(ring_re)
-        ring_im[...] = jnp.zeros_like(ring_im)
-        prev_s[...] = jnp.zeros_like(prev_s)
-        d1.wait()
-        d2.wait()
+    if prefetch:
+        # Ping-pong spectra scratch (2, P, n2h, n1): each channel start WAITS
+        # the DMA its predecessor issued and issues the NEXT channel's fetch,
+        # so the ~4 MB spectra copy overlaps the predecessor's hop compute
+        # instead of stalling step 0 (HISSTOOLS_FASTFIR_PREFETCH experiment —
+        # the channel-start fetch is the one serial DMA left in the skeleton).
+        par = jax.lax.rem(ci, jnp.int32(2))
+
+        @pl.when(tj == 0)
+        def _():
+            @pl.when(ci == 0)
+            def _():
+                d1 = pltpu.make_async_copy(hre_hbm.at[0], hre_s.at[0],
+                                           hsem.at[0])
+                d2 = pltpu.make_async_copy(him_hbm.at[0], him_s.at[0],
+                                           hsem.at[1])
+                d1.start()
+                d2.start()
+                d1.wait()
+                d2.wait()
+
+            @pl.when(ci > 0)
+            def _():
+                pltpu.make_async_copy(hre_hbm.at[ci], hre_s.at[par],
+                                      hsem.at[2 * par]).wait()
+                pltpu.make_async_copy(him_hbm.at[ci], him_s.at[par],
+                                      hsem.at[2 * par + 1]).wait()
+
+            @pl.when(ci + 1 < pl.num_programs(0))
+            def _():
+                pn = jax.lax.rem(ci + 1, jnp.int32(2))
+                pltpu.make_async_copy(hre_hbm.at[ci + 1], hre_s.at[pn],
+                                      hsem.at[2 * pn]).start()
+                pltpu.make_async_copy(him_hbm.at[ci + 1], him_s.at[pn],
+                                      hsem.at[2 * pn + 1]).start()
+
+            ring_re[...] = jnp.zeros_like(ring_re)
+            ring_im[...] = jnp.zeros_like(ring_im)
+            prev_s[...] = jnp.zeros_like(prev_s)
+        hre_s = hre_s.at[par]
+        him_s = him_s.at[par]
+    else:
+        @pl.when(tj == 0)
+        def _():
+            # New channel: fetch its impulse spectra, clear the ring+history.
+            d1 = pltpu.make_async_copy(hre_hbm.at[ci], hre_s, hsem.at[0])
+            d2 = pltpu.make_async_copy(him_hbm.at[ci], him_s, hsem.at[1])
+            d1.start()
+            d2.start()
+            ring_re[...] = jnp.zeros_like(ring_re)
+            ring_im[...] = jnp.zeros_like(ring_im)
+            prev_s[...] = jnp.zeros_like(prev_s)
+            d1.wait()
+            d2.wait()
 
     dot = _Dot(mode)
 
@@ -1682,9 +1724,13 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
     # ONLY — output is wrong with any stage removed; see tools/chain_ablate.py.
     ablate = tuple(a for a in os.environ.get(
         "HISSTOOLS_FASTFIR_ABLATE", "").split(",") if a)
+    prefetch = (os.environ.get("HISSTOOLS_FASTFIR_PREFETCH", "0") == "1"
+                and _fastfir_vmem(n, p, g) + 8 * p * (n // 2)
+                <= vmem_budget(13))
+    h_shape = ((2, p, n2h, n1) if prefetch else (p, n2h, n1))
     y = pl.pallas_call(
         partial(_fastfir_kernel, n2h=n2h, p=p, g_hops=g, scale=float(scale),
-                mode=mode, ablate=ablate),
+                mode=mode, ablate=ablate, prefetch=prefetch),
         grid=(c, tp // g),
         compiler_params=_seq_grid(2),
         in_specs=[cur_spec] + _hbm_specs(2) + _hbm_specs(14),
@@ -1692,10 +1738,11 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
         out_shape=jax.ShapeDtypeStruct((c, tp, n1h, n2), jnp.float32),
         scratch_shapes=[pltpu.VMEM(tb.shape, jnp.float32) for tb in fwd] +
                        [pltpu.VMEM(tb.shape, jnp.float32) for tb in inv] +
-                       [pltpu.VMEM((p, n2h, n1), jnp.float32)] * 4 +
+                       [pltpu.VMEM(h_shape, jnp.float32)] * 2 +
+                       [pltpu.VMEM((p, n2h, n1), jnp.float32)] * 2 +
                        [pltpu.VMEM((n1h, n2), jnp.float32),
                         pltpu.SemaphoreType.DMA((14,)),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=c * tp * (6 * n1 * n1 * n2 + 16 * n1 * n2 * n2h + 8 * p * (n // 2)),
@@ -1713,10 +1760,10 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
 # carried previous time block instead of the zero mask.
 # -----------------------------------------------------------------------------
 
-def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
+def _fastfir_stream_kernel(curb_ref, pstate_ref, ring_hbm_re,
                            ring_hbm_im, hre_hbm, him_hbm, *refs,
-                           n2h: int, p: int, t: int, scale: float, mode: str,
-                           lag0: bool):
+                           n2h: int, p: int, t: int, g_hops: int,
+                           scale: float, mode: str, lag0: bool):
     if lag0:
         l0re_hbm, l0im_hbm = refs[:2]
         refs = refs[2:]
@@ -1731,17 +1778,18 @@ def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
         refs = refs[2:]
     (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
      qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
-     hre_s, him_s, ring_re, ring_im, tsem, hsem, osem) = refs
+     hre_s, him_s, ring_re, ring_im, prev_s, tsem, hsem, osem) = refs
     _load_tables_once(fwd_hbm + inv_hbm,
                       (f1r_s, f1i_s, twr_s, twi_s, f2r_s, f2i_s, f2s_s,
                        qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s),
                       tsem, grid_rank=2)
     ci = pl.program_id(0)
-    ti = pl.program_id(1)
+    tj = pl.program_id(1)
 
-    @pl.when(ti == 0)
+    @pl.when(tj == 0)
     def _():
-        # New channel: impulse spectra + carried ring state into scratch.
+        # New channel: impulse spectra + carried ring state into scratch, and
+        # the carried previous time block into the cross-step prev scratch.
         dmas = [pltpu.make_async_copy(hre_hbm.at[ci], hre_s, hsem.at[0]),
                 pltpu.make_async_copy(him_hbm.at[ci], him_s, hsem.at[1]),
                 pltpu.make_async_copy(ring_hbm_re.at[ci], ring_re, hsem.at[2]),
@@ -1753,57 +1801,72 @@ def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
                                            hsem.at[5])]
         for d in dmas:
             d.start()
+        prev_s[...] = pstate_ref[0, 0]
         for d in dmas:
             d.wait()
 
     dot = _Dot(mode)
 
-    # -- forward rFFT of this hop's [prev | cur] frame (first hop's overlap
-    # from the carried previous block). Runs BEFORE the MAC so the lag-0
-    # partition can use the hop's own spectrum; the ring insert still happens
-    # after the MAC reads the pre-insert state.
-    nh = prevb_ref.shape[-2]
+    # Table operands mode-stacked once per grid step, amortized over the
+    # g_hops in-kernel hops (exactly the offline chain kernel's pattern —
+    # hops unroll with STATIC in-step indices).
+    nh = curb_ref.shape[-2]
     f1r_lo = dot.lhs(f1r_s[...][:, :nh], 1)
     f1r_hi = dot.lhs(f1r_s[...][:, nh:], 1)
     f1i_lo = dot.lhs(f1i_s[...][:, :nh], 1)
     f1i_hi = dot.lhs(f1i_s[...][:, nh:], 1)
-    prev = dot.rhs(jnp.where(ti == 0, pstate_ref[0, 0], prevb_ref[0, 0]), 0)
-    cur = dot.rhs(curb_ref[0, 0], 0)
-    er, ei = _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
-                        twr_s[...], twi_s[...], dot.lhs(f2r_s[...], 0),
-                        dot.lhs(f2i_s[...], 0), dot.lhs(f2s_s[...], 0), n2h)
-
-    # -- causal MAC: virtual rows X_j; j < 0 live in the preloaded ring at
-    # slot j mod p (oldest-first state layout), j >= 0 at slot j mod p after
-    # this grid dimension's earlier writes — one uniform slot rule.
-    pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
-
+    f2r = dot.lhs(f2r_s[...], 0)
+    f2i = dot.lhs(f2i_s[...], 0)
+    f2s = dot.lhs(f2s_s[...], 0)
+    twr = twr_s[...]
+    twi = twi_s[...]
+    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
+                     tail_from=nh)
     if lag0:
-        # Zero-delay partition Y_t += X_t * lag0 on the hop's OWN spectrum —
-        # the collapsed non-uniform scheme's head+small-sections term
-        # (mono._process_block_collapsed). Packed lane [0, 0] multiplies
-        # DC*DC (re) and Nyquist*Nyquist (im) independently, like _ring_mac.
         l0r = l0re_s[...]
         l0i = l0im_s[...]
-        zr = er * l0r - ei * l0i
-        zi = er * l0i + ei * l0r
-        z0r = er[0:1, :] * l0r[0:1, :]
-        z0i = ei[0:1, :] * l0i[0:1, :]
-        rows = jax.lax.broadcasted_iota(jnp.int32, zr.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, zr.shape, 1)
-        lane0 = (rows == 0) & (cols == 0)
-        pr = pr + jnp.where(lane0, z0r, zr)
-        pi = pi + jnp.where(lane0, z0i, zi)
 
-    _ring_insert(ring_re, ring_im, ti, p, er, ei)
+    for g in range(g_hops):
+        ti = tj * g_hops + g
 
-    # -- tail riFFT (identical to the offline kernel) ------------------------
-    inv = _stack_inv(dot, qr_s, qi_s, qs_s, ctr_s, cti_s, p1r_s, p1i_s,
-                     tail_from=y_ref.shape[-2])
-    y_ref[0, 0] = _tail_block(dot, pr, pi, *inv, scale=scale)
+        # -- forward rFFT of hop ti's [prev | cur] frame. Runs BEFORE the MAC
+        # so the lag-0 partition can use the hop's own spectrum; the ring
+        # insert still happens after the MAC reads the pre-insert state.
+        prev_blk = prev_s[...] if g == 0 else curb_ref[0, g - 1]
+        prev = dot.rhs(prev_blk, 0)
+        cur = dot.rhs(curb_ref[0, g], 0)
+        er, ei = _fwd_frame(dot, prev, cur, f1r_lo, f1r_hi, f1i_lo, f1i_hi,
+                            twr, twi, f2r, f2i, f2s, n2h)
+
+        # -- causal MAC: virtual rows X_j; j < 0 live in the preloaded ring at
+        # slot j mod p (oldest-first state layout), j >= 0 at slot j mod p
+        # after earlier writes this call — one uniform slot rule.
+        pr, pi = _ring_mac(ti, p, ring_re, ring_im, hre_s, him_s, n2h)
+
+        if lag0:
+            # Zero-delay partition Y_t += X_t * lag0 on the hop's OWN
+            # spectrum — the collapsed non-uniform scheme's
+            # head+small-sections term (mono._process_block_collapsed).
+            # Packed lane [0, 0] multiplies DC*DC (re) and Nyquist*Nyquist
+            # (im) independently, like _ring_mac.
+            zr = er * l0r - ei * l0i
+            zi = er * l0i + ei * l0r
+            z0r = er[0:1, :] * l0r[0:1, :]
+            z0i = ei[0:1, :] * l0i[0:1, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, zr.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, zr.shape, 1)
+            lane0 = (rows == 0) & (cols == 0)
+            pr = pr + jnp.where(lane0, z0r, zr)
+            pi = pi + jnp.where(lane0, z0i, zi)
+
+        _ring_insert(ring_re, ring_im, ti, p, er, ei)
+
+        # -- tail riFFT (identical to the offline kernel) --------------------
+        y_ref[0, g] = _tail_block(dot, pr, pi, *inv, scale=scale)
+    prev_s[...] = curb_ref[0, g_hops - 1]
 
     # -- last hop: emit the new ring, slot-normalised to oldest-first --------
-    @pl.when(ti == t - 1)
+    @pl.when(tj == t // g_hops - 1)
     def _():
         # New state slot s must hold X_{t-p+s}, which lives at scratch slot
         # (t + s) mod p — a rotation by r = t mod p, i.e. TWO contiguous
@@ -1836,8 +1899,29 @@ def _fastfir_stream_kernel(prevb_ref, curb_ref, pstate_ref, ring_hbm_re,
             d.wait()
 
 
-def fastfir_stream_feasible(n: int, p: int) -> bool:
-    return fastfir_feasible(n, p)
+def fastfir_stream_feasible(n: int, p: int, g: int = 1) -> bool:
+    return fastfir_feasible(n, p, g)
+
+
+def _stream_pick_g(n: int, p: int, t: int) -> int:
+    """Hops per grid step for the STREAMING chain kernel: the largest
+    divisor of t (the emitted ring must see exactly t true hops — padded
+    hops would pollute it) that fits the g-aware VMEM model, capped at 8.
+
+    Unlike the offline kernel (whose G-merge is a measured dead end at
+    N = 2^16 — the per-hop compute already hides the per-step skeleton),
+    streaming hops are small (N = final-section size, e.g. 2^14) and the
+    2048-step grid at G = 1 measured 17.5 ms vs the staged chain's 15.25
+    (round 4): grouping is exactly the lever the offline shape didn't need.
+    """
+    g = int(os.environ.get("HISSTOOLS_STREAM_G", "0"))
+    if g:
+        return g if t % g == 0 else 1
+    best = 1
+    for cand in (2, 4, 8):
+        if t % cand == 0 and fastfir_stream_feasible(n, p, cand):
+            best = cand
+    return best
 
 
 def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
@@ -1851,8 +1935,10 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
     blocks; ``prev``: (C, H) the carried previous block; ``ring_*``:
     (C, P, N/2) oldest-first spectra ring (pos == 0). ``l0_*``: optional
     (C, N/2) packed zero-delay partition multiplied with each hop's OWN
-    spectrum (the collapsed scheme's block0). Returns (y (C, T, H),
-    new_ring_re, new_ring_im) with the new ring oldest-first."""
+    spectrum (the collapsed scheme's block0). Hops run grouped G per grid
+    step (_stream_pick_g — streaming hops are small, so the per-step
+    skeleton dominates at G = 1; HISSTOOLS_STREAM_G overrides). Returns
+    (y (C, T, H), new_ring_re, new_ring_im) with the new ring oldest-first."""
     c, t, hop = x2d.shape
     n = 2 * hop
     p = ring_re.shape[-2]
@@ -1864,6 +1950,8 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
     lag0 = l0_re is not None
     fwd = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
     inv = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
+
+    g = _stream_pick_g(n, p, t)
 
     x4 = x2d.reshape(c, t, n1h, n2).astype(jnp.float32)
     pv4 = prev.reshape(c, 1, n1h, n2).astype(jnp.float32)
@@ -1878,21 +1966,18 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
               l0_im.reshape(c, n2h, n1).astype(jnp.float32))
         l0_scratch = [pltpu.VMEM((n2h, n1), jnp.float32)] * 2
 
-    prev_spec = pl.BlockSpec((1, 1, n1h, n2),
-                             lambda ci, i: (ci, jnp.maximum(i - 1, 0), 0, 0),
-                             memory_space=pltpu.VMEM)
-    cur_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, i, 0, 0),
+    cur_spec = pl.BlockSpec((1, g, n1h, n2), lambda ci, i: (ci, i, 0, 0),
                             memory_space=pltpu.VMEM)
     pst_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    y_spec = pl.BlockSpec((1, 1, n1h, n2), lambda ci, i: (ci, i, 0, 0),
+    y_spec = pl.BlockSpec((1, g, n1h, n2), lambda ci, i: (ci, i, 0, 0),
                           memory_space=pltpu.VMEM)
     y, nr_re, nr_im = pl.pallas_call(
-        partial(_fastfir_stream_kernel, n2h=n2h, p=p, t=t,
+        partial(_fastfir_stream_kernel, n2h=n2h, p=p, t=t, g_hops=g,
                 scale=float(scale), mode=mode, lag0=lag0),
-        grid=(c, t),
+        grid=(c, t // g),
         compiler_params=_seq_grid(2),
-        in_specs=[prev_spec, cur_spec, pst_spec] + _hbm_specs(4)
+        in_specs=[cur_spec, pst_spec] + _hbm_specs(4)
                  + _hbm_specs(2 if lag0 else 0) + _hbm_specs(14),
         out_specs=[y_spec, pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
@@ -1903,7 +1988,8 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
                        [pltpu.VMEM(tb.shape, jnp.float32) for tb in fwd] +
                        [pltpu.VMEM(tb.shape, jnp.float32) for tb in inv] +
                        [pltpu.VMEM((p, n2h, n1), jnp.float32)] * 4 +
-                       [pltpu.SemaphoreType.DMA((14,)),
+                       [pltpu.VMEM((n1h, n2), jnp.float32),
+                        pltpu.SemaphoreType.DMA((14,)),
                         pltpu.SemaphoreType.DMA((6,)),
                         pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
@@ -1912,7 +1998,7 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
                            + 8 * p * (n // 2)),
             bytes_accessed=4 * c * (2 * t * hop + 4 * p * (n // 2)),
             transcendentals=0),
-    )(x4, x4, pv4, r4_re, r4_im, h4_re, h4_im, *l0, *fwd, *inv)
+    )(x4, pv4, r4_re, r4_im, h4_re, h4_im, *l0, *fwd, *inv)
     # Preserve the caller's dtypes: the kernel computes in f32; a bf16/f16
     # state carried through lax.scan must come back in its own dtype.
     return (y.reshape(c, t, hop).astype(x2d.dtype),

@@ -424,60 +424,57 @@ def hop_fire(frame: jax.Array, ring_re: jax.Array, ring_im: jax.Array,
 # -----------------------------------------------------------------------------
 
 def _lag_mac_ring_kernel(hre_ref, him_ref, xre_ref, xim_ref, sre_ref, sim_ref,
-                         exch_ref, yre_ref, yim_ref, nre_ref, nim_ref,
+                         yre_ref, yim_ref, nre_ref, nim_ref, vre_s, vim_s,
                          *, t: int, p: int):
+    # Virtual rows V = [hist | x] staged CONTIGUOUSLY in scratch, then the
+    # causal kernel's lag-major loop: one (t, tile) value accumulator, one
+    # static sliding slice per lag, no per-row reductions. The previous
+    # ti-major form (per-output-row partial sums over split hist/x slices +
+    # narrow single-lane DC/Nyquist accumulation) measured 0.84 logical
+    # TF/s on the VPU vs the causal kernel's 1.62 at the same FLOP count —
+    # the round-4 streaming bottleneck (9.26 ms of a 12.6 ms block).
+    #
+    # The packed DC/Nyquist lane is NOT special-cased here: the wrapper
+    # overwrites bin 0 with the exact packed product computed in XLA.
+    vre_s[:p, :] = hre_ref[0]
+    vim_s[:p, :] = him_ref[0]
+    vre_s[p:, :] = xre_ref[0]
+    vim_s[p:, :] = xim_ref[0]
+    # FOUR interleaved partial accumulators: a single accumulator makes the
+    # unrolled P-lag chain one long serial dependency (P = 58 at the stream
+    # shape — the multiply-accumulate latency can't hide and the kernel
+    # measured only ~0.85 logical TF/s); splitting by lag%4 gives four
+    # independent chains the VPU can overlap, summed once at the end.
     width = yre_ref.shape[-1]
-    exch = exch_ref[...]
-    dn = (((1,), (0,)), ((), ()))
-    sre = jax.lax.dot_general(exch, sre_ref[0], dn,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-    sim = jax.lax.dot_general(exch, sim_ref[0], dn,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-    sel = _bin0_mask(width)
-    for ti in range(t):
-        # Window V[ti : ti+P) = hist rows [ti, P) then x rows [0, ti),
-        # accumulated as TWO partial sums — an in-loop concatenate allocates
-        # fresh buffers every unrolled row that Mosaic's scoped stack does
-        # not pop (measured 21.9M scoped at P=59), while plain ref-slice
-        # products are reused across rows.
-        nh = p - ti
-        hr_ = hre_ref[0, ti:, :]
-        hi_ = him_ref[0, ti:, :]
-        pre = jnp.sum(hr_ * sre[:nh, :] - hi_ * sim[:nh, :], 0, keepdims=True)
-        pim = jnp.sum(hr_ * sim[:nh, :] + hi_ * sre[:nh, :], 0, keepdims=True)
-        f0r = jnp.sum(hr_[:, 0:1] * sre[:nh, 0:1], 0, keepdims=True)
-        f0i = jnp.sum(hi_[:, 0:1] * sim[:nh, 0:1], 0, keepdims=True)
-        if ti > 0:
-            xr_ = xre_ref[0, :ti, :]
-            xi_ = xim_ref[0, :ti, :]
-            pre = pre + jnp.sum(xr_ * sre[nh:, :] - xi_ * sim[nh:, :], 0,
-                                keepdims=True)
-            pim = pim + jnp.sum(xr_ * sim[nh:, :] + xi_ * sre[nh:, :], 0,
-                                keepdims=True)
-            f0r = f0r + jnp.sum(xr_[:, 0:1] * sre[nh:, 0:1], 0, keepdims=True)
-            f0i = f0i + jnp.sum(xi_[:, 0:1] * sim[nh:, 0:1], 0, keepdims=True)
-        yre_ref[0, ti:ti + 1, :] = jnp.where(sel, f0r, pre)
-        yim_ref[0, ti:ti + 1, :] = jnp.where(sel, f0i, pim)
-    # New ring = V[T : T+P) = [hist rows T.., all of x], oldest-first, pos 0.
-    if t < p:
-        nre_ref[0, :p - t, :] = hre_ref[0, t:, :]
-        nim_ref[0, :p - t, :] = him_ref[0, t:, :]
-    nre_ref[0, p - t:, :] = xre_ref[0, :, :]
-    nim_ref[0, p - t:, :] = xim_ref[0, :, :]
+    nacc = min(4, p)
+    accs = [[jnp.zeros((t, width), jnp.float32) for _ in range(2)]
+            for _ in range(nacc)]
+    for lag in range(p):
+        start = p - 1 - lag
+        xr = vre_s[start:start + t, :]
+        xi = vim_s[start:start + t, :]
+        hr = sre_ref[0, lag:lag + 1, :]
+        hi = sim_ref[0, lag:lag + 1, :]
+        a = accs[lag % nacc]
+        a[0] = a[0] + (xr * hr - xi * hi)
+        a[1] = a[1] + (xr * hi + xi * hr)
+    yre_ref[0] = sum(a[0] for a in accs)
+    yim_ref[0] = sum(a[1] for a in accs)
+    # New ring = V[T : T+P), oldest-first, pos 0.
+    nre_ref[0] = vre_s[t:, :]
+    nim_ref[0] = vim_s[t:, :]
 
 
 def _pick_bin_tile_ring(t: int, p: int, bins: int) -> int:
-    # Mosaic's scoped stack reuses the unrolled rows' product temporaries
-    # only partially (hardware-measured 20.9M at t=16/p=58/tile=2048 —
-    # ~10 bytes x t x p x tile, the same live-set behaviour as the causal
-    # kernel), plus the six io blocks.
+    # Double-buffered io blocks + the (P+T, tile) x2 virtual-rows scratch +
+    # the cumulative unrolled-lag product temporaries (Mosaic's scoped stack
+    # does not reuse across unrolled iterations — same live-set behaviour as
+    # the causal kernel; validated by tools/vmem_probe.py).
     tile = min(bins, 8192)
     while tile >= 128:
-        # 4*p*p: the VMEM-resident (P, P) exchange matrix (see causal model).
-        need = (4 * p * p + 4 * 2 * (3 * p + 3 * t) * tile
-                + 10 * t * p * tile)
+        need = (4 * 2 * 2 * (3 * p + 3 * t) * tile
+                + 4 * 2 * (p + t) * tile
+                + 16 * t * p * tile)
         if need <= _VMEM_BUDGET and bins % tile == 0:
             return tile
         tile //= 2
@@ -505,27 +502,38 @@ def lag_mac_ring(hist_re: jax.Array, hist_im: jax.Array,
     tile = _pick_bin_tile_ring(t, p, k)
     if tile == 0 or t > p:
         raise ValueError("lag_mac_ring infeasible; check lag_mac_ring_fits")
-    exch = jnp.asarray(np.eye(p, dtype=np.float32)[::-1].copy())
 
     grid = (c, k // tile)
     h_spec = pl.BlockSpec((1, p, tile), lambda ci, ki: (ci, 0, ki),
                           memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, t, tile), lambda ci, ki: (ci, 0, ki),
                           memory_space=pltpu.VMEM)
-    e_spec = pl.BlockSpec((p, p), lambda ci, ki: (0, 0),
-                          memory_space=pltpu.VMEM)
     yre, yim, nre, nim = pl.pallas_call(
         functools.partial(_lag_mac_ring_kernel, t=t, p=p),
         grid=grid,
-        in_specs=[h_spec, h_spec, x_spec, x_spec, h_spec, h_spec, e_spec],
+        in_specs=[h_spec, h_spec, x_spec, x_spec, h_spec, h_spec],
         out_specs=[x_spec, x_spec, h_spec, h_spec],
         out_shape=[jax.ShapeDtypeStruct((c, t, k), x_re.dtype)] * 2 +
                   [jax.ShapeDtypeStruct((c, p, k), x_re.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((p + t, tile), jnp.float32)] * 2,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * c * t * p * k,
             bytes_accessed=4 * c * k * (4 * p + 4 * t),
             transcendentals=0,
         ),
-    )(hist_re, hist_im, x_re, x_im, h_re, h_im, exch)
+    )(hist_re, hist_im, x_re, x_im, h_re, h_im)
+    # Packed DC/Nyquist lane, computed in XLA over the (C, P+T) bin-0 column
+    # (the kernel's bin 0 holds the plain complex product — see the kernel
+    # comment; the special lane is 1/K of the data and O(C*T*P) scalar work
+    # here, vs a doubled VPU instruction stream in the kernel).
+    v0_re = jnp.concatenate([hist_re[..., 0], x_re[..., 0]], axis=-1)
+    v0_im = jnp.concatenate([hist_im[..., 0], x_im[..., 0]], axis=-1)
+    idx = np.arange(t)[:, None] + (p - 1 - np.arange(p))[None, :]  # (T, P)
+    y0_re = jnp.sum(v0_re[..., idx] * h_re[..., None, :, 0], axis=-1)
+    y0_im = jnp.sum(v0_im[..., idx] * h_im[..., None, :, 0], axis=-1)
+    yre = jnp.concatenate([y0_re[..., None].astype(yre.dtype), yre[..., 1:]],
+                          axis=-1)
+    yim = jnp.concatenate([y0_im[..., None].astype(yim.dtype), yim[..., 1:]],
+                          axis=-1)
     return yre, yim, nre, nim

@@ -357,6 +357,16 @@ def test_fastfir_mega_kernel_matches_staged_chain(rng):
         ref = np.convolve(x[c].astype(np.float64),
                           ir[c].astype(np.float64))[:40000]
         assert snr_db(ref, np.asarray(y_mega)[c]) > 100
+    # The ping-pong spectra prefetch (HISSTOOLS_FASTFIR_PREFETCH) is a pure
+    # scheduling change: output must be identical to the non-prefetch kernel.
+    os.environ["HISSTOOLS_FASTFIR_PREFETCH"] = "1"
+    try:
+        y_pf = fast_fir(jnp.asarray(x), ir, fft_size=1 << 14,
+                        backend="pallas")
+    finally:
+        del os.environ["HISSTOOLS_FASTFIR_PREFETCH"]
+    np.testing.assert_allclose(np.asarray(y_pf), np.asarray(y_mega),
+                               rtol=1e-6, atol=1e-5)
 
 
 def test_lazy_tail_attach_matches_eager(rng):
@@ -501,6 +511,49 @@ def test_fastfir_stream_chain_matches_step_scan(rng, mode):
     got = np.concatenate(outs + [np.asarray(yk).reshape(c, -1)], axis=-1)
     assert snr_db(y_ref, got) > (110.0 if mode == "highest" else 95.0)
     assert nr.shape == (c, P, n // 2)
+
+
+@pytest.mark.parametrize("g", [2, 4, 8])
+def test_fastfir_stream_chain_grouped_hops(rng, g):
+    """G hops per grid step (HISSTOOLS_STREAM_G) must be output- and
+    ring-identical to the ungrouped kernel — grouping only amortizes the
+    per-step skeleton (the round-4 streaming lever)."""
+    import os
+    import jax.numpy as jnp
+    from hisstools_library_tpu.fft import pallas_fft as pf
+    from hisstools_library_tpu.models import partitioned as part
+    from hisstools_library_tpu.core.types import Split as S
+
+    n, hop, c, t = 2048, 1024, 2, 8
+    ir = (rng.standard_normal(5 * hop - 300) * 0.3).astype(np.float32)
+    spec = part.impulse_spectra(ir[None], n, 0, 0)
+    P = spec.shape[-2]
+    x = rng.standard_normal((c, t, hop)).astype(np.float32)
+    prev = rng.standard_normal((c, hop)).astype(np.float32)
+    rr = (rng.standard_normal((c, P, n // 2)) * 0.1).astype(np.float32)
+    ri = (rng.standard_normal((c, P, n // 2)) * 0.1).astype(np.float32)
+    hr = jnp.broadcast_to(spec.re[0], (c, P, n // 2))
+    hi = jnp.broadcast_to(spec.im[0], (c, P, n // 2))
+    l0 = part.impulse_spectra(
+        (rng.standard_normal(hop) * 0.2).astype(np.float32)[None], n, 0, 0)
+    l0r = jnp.broadcast_to(l0.re[0], (c, n // 2))
+    l0i = jnp.broadcast_to(l0.im[0], (c, n // 2))
+
+    args = (jnp.asarray(x), jnp.asarray(prev), jnp.asarray(rr),
+            jnp.asarray(ri), hr, hi)
+    kw = dict(scale=1.0 / (4.0 * n), interpret=True, l0_re=l0r, l0_im=l0i)
+    y1, r1, i1 = pf.fastfir_chain_stream(*args, **kw)  # picker -> g = 1 here
+    os.environ["HISSTOOLS_STREAM_G"] = str(g)
+    try:
+        yg, rg, ig = pf.fastfir_chain_stream(*args, **kw)
+    finally:
+        del os.environ["HISSTOOLS_STREAM_G"]
+    np.testing.assert_allclose(np.asarray(yg), np.asarray(y1),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rg), np.asarray(r1),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ig), np.asarray(i1),
+                               rtol=1e-6, atol=1e-5)
 
 
 @pytest.mark.parametrize("mode", ["highest", "bf16x3"])

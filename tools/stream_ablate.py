@@ -84,8 +84,11 @@ def main():
     hi_b = jnp.broadcast_to(spec.im, lead + (p, hop))
 
     # -- full collapsed block (what BENCH_MODE=stream times) ------------------
-    full = jax.jit(lambda s, xx: mono.process(ir, s, xx, backend="pallas")[1])
-    ms = slope(lambda: full(state0, x)) * 1e3
+    # Every jit below takes the big arrays as ARGUMENTS: closing over the IR
+    # spectra bakes ~0.5 GB of constants into the program body and the axon
+    # remote compiler rejects it (HTTP 413) — CLAUDE.md gotcha.
+    full = jax.jit(lambda i, s, xx: mono.process(i, s, xx, backend="pallas")[1])
+    ms = slope(lambda: full(ir, state0, x)) * 1e3
     print(f"full collapsed block        : {ms:7.2f} ms")
 
     # -- frames concat + rfft --------------------------------------------------
@@ -98,16 +101,17 @@ def main():
     xre, xim = f_rfft(x, st.prev)
 
     # -- lag_mac_ring alone ----------------------------------------------------
-    f_mac = jax.jit(lambda hr, hi, a, b: pk.lag_mac_ring(
-        hr, hi, a, b, hr_b, hi_b, interpret=False))
-    ms = slope(lambda: f_mac(st.ring.re, st.ring.im, xre, xim)) * 1e3
+    f_mac = jax.jit(lambda hr, hi, a, b, sr, si: pk.lag_mac_ring(
+        hr, hi, a, b, sr, si, interpret=False))
+    ms = slope(lambda: f_mac(st.ring.re, st.ring.im, xre, xim,
+                             hr_b, hi_b)) * 1e3
     print(f"lag_mac_ring                : {ms:7.2f} ms")
 
-    yre, yim, nre, nim = f_mac(st.ring.re, st.ring.im, xre, xim)
+    yre, yim, nre, nim = f_mac(st.ring.re, st.ring.im, xre, xim, hr_b, hi_b)
 
     # -- lag0 product -----------------------------------------------------------
-    f_l0 = jax.jit(lambda a, b: packed_mul(Split(a, b), ir.block0))
-    ms = slope(lambda: f_l0(xre, xim)) * 1e3
+    f_l0 = jax.jit(lambda a, b, l0: packed_mul(Split(a, b), l0))
+    ms = slope(lambda: f_l0(xre, xim, ir.block0)) * 1e3
     print(f"lag0 packed product         : {ms:7.2f} ms")
 
     # -- tail riFFT -------------------------------------------------------------
@@ -117,23 +121,25 @@ def main():
     print(f"tail riFFT                  : {ms:7.2f} ms")
 
     # -- small-section refresh (x3) + head refresh ------------------------------
-    def f_refresh(xx):
+    def f_refresh(specs, xx):
         tail = xx[..., -hop:]
         outs = [mono._refresh_aligned_section(s, tail, "pallas").ring.re
-                for s in ir.spectra[:-1]]
+                for s in specs]
         return outs[0]
     f_refresh = jax.jit(f_refresh)
-    ms = slope(lambda: f_refresh(x)) * 1e3
+    ms = slope(lambda: f_refresh(ir.spectra[:-1], x)) * 1e3
     print(f"refresh small sections (x{len(ir.spectra) - 1}): {ms:7.2f} ms")
 
     # -- mega-kernel variant (for reference) ------------------------------------
     if pallas_fft.fastfir_stream_feasible(n, p):
         l0r = jnp.broadcast_to(ir.block0.re, lead + (1, hop)).reshape(channels, hop)
         l0i = jnp.broadcast_to(ir.block0.im, lead + (1, hop)).reshape(channels, hop)
-        f_mega = jax.jit(lambda pv, rr, ri, xx: pallas_fft.fastfir_chain_stream(
-            xx.reshape(channels, t, hop), pv, rr, ri, hr_b, hi_b,
-            scale=1.0 / (4.0 * n), l0_re=l0r, l0_im=l0i))
-        ms = slope(lambda: f_mega(st.prev, st.ring.re, st.ring.im, x)) * 1e3
+        f_mega = jax.jit(lambda pv, rr, ri, xx, sr, si, ar, ai:
+                         pallas_fft.fastfir_chain_stream(
+            xx.reshape(channels, t, hop), pv, rr, ri, sr, si,
+            scale=1.0 / (4.0 * n), l0_re=ar, l0_im=ai))
+        ms = slope(lambda: f_mega(st.prev, st.ring.re, st.ring.im, x,
+                                  hr_b, hi_b, l0r, l0i)) * 1e3
         print(f"mega-kernel (chain_stream)  : {ms:7.2f} ms")
 
 
