@@ -365,6 +365,21 @@ def main():
               flush=True)
         sys.exit(2)
 
+    if os.environ.get("BENCH_MODE", "fast") == "all":
+        # Full config matrix, one JSON line per config (BASELINE.json configs
+        # 1-5 + streaming), sequential subprocesses so no two TPU clients ever
+        # contend for the relay (CLAUDE.md) and per-mode global state stays
+        # isolated. The persistent compile cache keeps re-inits cheap.
+        import subprocess
+        rc = 0
+        for m in ("fast", "stream", "fft", "stft", "tdfir", "pipeline"):
+            env = dict(os.environ, BENCH_MODE=m)
+            log(f"=== BENCH_MODE={m} ===")
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env)
+            rc = rc or r.returncode
+        sys.exit(rc)
+
     import jax
     import jax.numpy as jnp
 
@@ -426,20 +441,33 @@ def main():
         ir = spectra
     elif mode == "stream":
         # Real-time streaming engine with carried state. Default: the Zero
-        # preset (latency-bounded far below the block size). BENCH_SCHEME=
+        # preset (latency-bounded far below the block size) through the
+        # TWO-TIER block path (near ring + far ring at the offline-optimal
+        # hop + zero-delay term — mono._process_block_two_tier). BENCH_SCHEME=
         # matched picks the throughput-optimal scheme for the block-size
-        # latency budget instead (PartitionScheme.for_latency_budget) —
-        # measured 125x vs 46x RT at 8192-sample blocks.
+        # latency budget instead (PartitionScheme.for_latency_budget);
+        # BENCH_TIER=single forces the round-3 single-tier collapsed path.
         if os.environ.get("BENCH_SCHEME", "") == "matched":
             scheme = PartitionScheme.for_latency_budget(hop)
         ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32, offline_tail=False)
         jax.block_until_ready(ir.head_taps)
-        log(f"streaming scheme {scheme.sizes}, block {hop}")
-        state0 = mono.init_state(scheme, ir, batch_shape=(channels,))
-        step = jax.jit(lambda i, s, xx: mono.process(i, s, xx, backend=backend))
+        two_tier = (ir.far is not None
+                    and os.environ.get("BENCH_TIER", "") != "single")
+        log(f"streaming scheme {scheme.sizes}, block {hop}, "
+            f"{'two-tier' if two_tier else 'single-tier'}")
+        if two_tier:
+            state0 = mono.init_block_state(scheme, ir, batch_shape=(channels,))
+        else:
+            state0 = mono.init_state(scheme, ir, batch_shape=(channels,))
+        # Donate the carried state: real streaming consumes it every block,
+        # and donation lets XLA update the two-tier raw-history ring in place
+        # instead of copying ~(P+1)*hop samples per channel per block.
+        step = jax.jit(lambda i, s, xx: mono.process(i, s, xx, backend=backend),
+                       donate_argnums=(1,))
+        carried = {"s": state0}
 
-        def fwd(i, xx, _step=step, _s0=state0):
-            _, y = _step(i, _s0, xx)
+        def fwd(i, xx, _step=step, _c=carried):
+            _c["s"], y = _step(i, _c["s"], xx)
             return y
     else:
         ir = mono.prepare_ir(scheme, irs, dtype=jnp.float32)
@@ -491,8 +519,10 @@ def main():
     log(f"SNR vs float64 direct conv (ch0, {check_len} samples, "
         f"latency {lat}): {snr:.1f} dB")
 
+    tag = "" if mode == "fast" else f", {mode}"
     print(json.dumps({
-        "metric": "convolved samples/s/chip (128ch x 10s IR partitioned convolve)",
+        "metric": f"convolved samples/s/chip (128ch x 10s IR partitioned "
+                  f"convolve{tag})",
         "value": round(sps, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(realtime_factor, 3),

@@ -1724,8 +1724,13 @@ def fastfir_chain(x2d: jax.Array, h_re: jax.Array, h_im: jax.Array,
     # ONLY — output is wrong with any stage removed; see tools/chain_ablate.py.
     ablate = tuple(a for a in os.environ.get(
         "HISSTOOLS_FASTFIR_ABLATE", "").split(",") if a)
+    # Prefetch doubles both impulse-spectra scratch planes; budget them at the
+    # PADDED plane size (2 x 4 bytes x (p, _pad8(n2//2+1), n1), ~6% larger
+    # than 8*p*(n//2) at n=2^16 — ADVICE r4) so boundary configs can't slip
+    # past the model.
     prefetch = (os.environ.get("HISSTOOLS_FASTFIR_PREFETCH", "0") == "1"
-                and _fastfir_vmem(n, p, g) + 8 * p * (n // 2)
+                and _fastfir_vmem(n, p, g)
+                + 2 * 4 * p * _pad8(n2 // 2 + 1) * n1
                 <= vmem_budget(13))
     h_shape = ((2, p, n2h, n1) if prefetch else (p, n2h, n1))
     y = pl.pallas_call(
@@ -1899,11 +1904,22 @@ def _fastfir_stream_kernel(curb_ref, pstate_ref, ring_hbm_re,
             d.wait()
 
 
-def fastfir_stream_feasible(n: int, p: int, g: int = 1) -> bool:
-    return fastfir_feasible(n, p, g)
+def fastfir_stream_feasible(n: int, p: int, g: int = 1,
+                            lag0: bool = False) -> bool:
+    """VMEM model for the streaming chain kernel: the offline model plus the
+    lag0 scratch (2 extra (n2h, n1) f32 planes) when the zero-delay partition
+    is carried — an unmodeled lag0 would let :func:`_stream_pick_g` choose a
+    G at a VMEM boundary that aborts on hardware (ADVICE r4)."""
+    if not fastfir_feasible(n, p, g):
+        return False
+    if not lag0:
+        return True
+    n1, n2 = _split_real(n)
+    return (_fastfir_vmem(n, p, g) + 2 * 4 * _pad8(n2 // 2 + 1) * n1
+            <= vmem_budget(13))
 
 
-def _stream_pick_g(n: int, p: int, t: int) -> int:
+def _stream_pick_g(n: int, p: int, t: int, lag0: bool = False) -> int:
     """Hops per grid step for the STREAMING chain kernel: the largest
     divisor of t (the emitted ring must see exactly t true hops — padded
     hops would pollute it) that fits the g-aware VMEM model, capped at 8.
@@ -1919,7 +1935,7 @@ def _stream_pick_g(n: int, p: int, t: int) -> int:
         return g if t % g == 0 else 1
     best = 1
     for cand in (2, 4, 8):
-        if t % cand == 0 and fastfir_stream_feasible(n, p, cand):
+        if t % cand == 0 and fastfir_stream_feasible(n, p, cand, lag0=lag0):
             best = cand
     return best
 
@@ -1951,7 +1967,7 @@ def fastfir_chain_stream(x2d: jax.Array, prev: jax.Array,
     fwd = [jnp.asarray(tb) for tb in _fwd_tables(n1, n2)]
     inv = [jnp.asarray(tb) for tb in _inv_tables(n1, n2)]
 
-    g = _stream_pick_g(n, p, t)
+    g = _stream_pick_g(n, p, t, lag0=lag0)
 
     x4 = x2d.reshape(c, t, n1h, n2).astype(jnp.float32)
     pv4 = prev.reshape(c, 1, n1h, n2).astype(jnp.float32)

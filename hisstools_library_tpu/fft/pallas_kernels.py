@@ -527,11 +527,18 @@ def lag_mac_ring(hist_re: jax.Array, hist_im: jax.Array,
     # (the kernel's bin 0 holds the plain complex product — see the kernel
     # comment; the special lane is 1/K of the data and O(C*T*P) scalar work
     # here, vs a doubled VPU instruction stream in the kernel).
-    v0_re = jnp.concatenate([hist_re[..., 0], x_re[..., 0]], axis=-1)
-    v0_im = jnp.concatenate([hist_im[..., 0], x_im[..., 0]], axis=-1)
+    # Accumulate the special lane in float32 regardless of the caller's dtype
+    # (a bf16/f16 caller would otherwise lose the kernel's f32-accumulation
+    # precision on exactly this lane — ADVICE r4); cast back at the splice.
+    v0_re = jnp.concatenate([hist_re[..., 0], x_re[..., 0]],
+                            axis=-1).astype(jnp.float32)
+    v0_im = jnp.concatenate([hist_im[..., 0], x_im[..., 0]],
+                            axis=-1).astype(jnp.float32)
     idx = np.arange(t)[:, None] + (p - 1 - np.arange(p))[None, :]  # (T, P)
-    y0_re = jnp.sum(v0_re[..., idx] * h_re[..., None, :, 0], axis=-1)
-    y0_im = jnp.sum(v0_im[..., idx] * h_im[..., None, :, 0], axis=-1)
+    y0_re = jnp.sum(v0_re[..., idx] * h_re[..., None, :, 0].astype(jnp.float32),
+                    axis=-1)
+    y0_im = jnp.sum(v0_im[..., idx] * h_im[..., None, :, 0].astype(jnp.float32),
+                    axis=-1)
     yre = jnp.concatenate([y0_re[..., None].astype(yre.dtype), yre[..., 1:]],
                           axis=-1)
     yim = jnp.concatenate([y0_im[..., None].astype(yim.dtype), yim[..., 1:]],

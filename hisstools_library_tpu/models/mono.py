@@ -191,20 +191,54 @@ class MonoIR:
     the IR taps every OTHER component (head + non-final sections) covers,
     shifted by the scheme latency. :func:`process` uses it to run the whole
     scheme as ONE uniform engine per block (see _process_block_collapsed);
-    sample-granular streaming (:func:`process_any`) never touches it."""
+    sample-granular streaming (:func:`process_any`) never touches it.
+
+    ``far`` (optional) is the far-IR re-partitioned at the throughput-optimal
+    multiple of the final hop (hop G*h, FFT size 2*G*h, IR offset
+    G*h - latency) for the TWO-TIER block-collapsed path — see
+    :func:`_process_block_two_tier`. Like ``block0`` it only serves
+    hop-aligned block processing (:func:`init_block_state`)."""
     head_taps: jax.Array
     spectra: Tuple[Split, ...]
     tail: Optional[Split] = None
     tail_shift: int = 0
     block0: Optional[Split] = None
+    far: Optional[Split] = None
 
     def tree_flatten(self):
-        return ((self.head_taps, self.spectra, self.tail, self.block0),
-                (self.tail_shift,))
+        return ((self.head_taps, self.spectra, self.tail, self.block0,
+                 self.far), (self.tail_shift,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0], children[3])
+        return cls(children[0], children[1], children[2], aux[0], children[3],
+                   children[4])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MonoBlockState:
+    """Two-tier hop-aligned streaming state (see _process_block_two_tier).
+
+    ``near``: ring of the final section's first G-1 partitions (hop h);
+    ``far``: ring of the far-IR re-partition (hop G*h, :class:`MonoIR.far`);
+    ``hist``/``hpos``: raw input history as a hop ring — (..., S, h) rows,
+    next write row ``hpos``, oldest row at ``hpos`` — carrying the last S*h
+    input samples so a hand-off to the per-section paths
+    (:func:`aligned_state_from_block` / :func:`stream_state_from_block`)
+    rebuilds every section state from the exact frames the per-section engine
+    would have transformed."""
+    near: part.PartitionedState
+    far: part.PartitionedState
+    hist: jax.Array
+    hpos: jax.Array
+
+    def tree_flatten(self):
+        return (self.near, self.far, self.hist, self.hpos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 class MonoConvolve:
@@ -286,6 +320,14 @@ class MonoConvolve:
             raise ConvolveException(ConvolveError.MEM_UNAVAILABLE, "no IR set")
         return init_stream_state(self.scheme, self.ir, batch_shape, dtype)
 
+    def init_block_state(self, batch_shape=(), dtype=jnp.float32
+                         ) -> MonoBlockState:
+        """State for the two-tier block path (requires a far-tier IR; blocks
+        must be multiples of ``ir.far.shape[-1]`` samples)."""
+        if self.ir is None:
+            raise ConvolveException(ConvolveError.MEM_UNAVAILABLE, "no IR set")
+        return init_block_state(self.scheme, self.ir, batch_shape, dtype)
+
     def process_any(self, state: MonoStreamState, x: jax.Array,
                     backend: Optional[str] = None
                     ) -> Tuple[MonoStreamState, jax.Array]:
@@ -304,7 +346,7 @@ class MonoConvolve:
             tail, shift = _make_offline_tail(self.scheme, self._ir_host,
                                              self._dtype, self._backend)
             self.ir = MonoIR(self.ir.head_taps, self.ir.spectra, tail, shift,
-                             self.ir.block0)
+                             self.ir.block0, self.ir.far)
             self._ir_host = None  # release the host copy
         if getattr(self, "_ir_debug", None) is not None:
             from ..utils import debug_stages
@@ -344,8 +386,10 @@ def prepare_ir(scheme: PartitionScheme, ir, max_length: int = 0,
     tail, tail_shift = (_make_offline_tail(scheme, ir, dtype, backend)
                         if offline_tail else (None, 0))
     block0 = _block_lag0_spectra(scheme, ir, dtype, backend)
+    far = (_far_tier_spectra(scheme, ir, dtype, backend)
+           if block0 is not None else None)
     return MonoIR(jnp.asarray(head, dtype), tuple(spectra), tail, tail_shift,
-                  block0)
+                  block0, far)
 
 
 def _block_lag0_spectra(scheme: PartitionScheme, ir, dtype,
@@ -369,6 +413,46 @@ def _block_lag0_spectra(scheme: PartitionScheme, ir, dtype,
     take = min(cover, ir.shape[-1])
     shifted[..., scheme.latency:scheme.latency + take] = ir[..., :take]
     return part.impulse_spectra(shifted, 2 * b, 0, 0, dtype, backend)
+
+
+def _far_hop(scheme: PartitionScheme, ir_len: int) -> int:
+    """Far-tier hop for the two-tier block path: the offline-optimal uniform
+    hop (offline.choose_fft_size / 2) snapped to a power-of-two multiple
+    G >= 2 of the final section's hop, with the far FFT size 2*G*h inside the
+    engine range. Returns 0 when no valid multiple exists (tiny schemes where
+    even G = 2 overflows 2^20, or IRs short enough that the offline-optimal
+    hop is not above the final hop — the single-tier collapse already serves
+    those)."""
+    from .offline import choose_fft_size
+    h = scheme.sizes[-1] >> 1
+    g = max(choose_fft_size(ir_len) // (2 * h), 2)
+    while g >= 2 and 2 * g * h > (1 << part.MAX_FFT_SIZE_LOG2):
+        g >>= 1
+    return g * h if g >= 2 else 0
+
+
+def _far_tier_spectra(scheme: PartitionScheme, ir, dtype,
+                      backend) -> Optional[Split]:
+    """Far-IR re-partition for the TWO-TIER block-collapsed path.
+
+    The Zero preset's final section MACs the whole far IR at its own hop —
+    464 MAC FLOPs/sample at the 10 s bench IR vs ~120 for the offline
+    engine's hop (docs/ROADMAP.md "two-tier streaming collapse"). Re-chunking
+    the IR beyond G partitions at hop H2 = G*h (a second ring advanced every
+    G-th hop) cuts that dominant cost ~G/"P2 ratio"x while preserving the
+    scheme's latency semantics: the far engine (FFT size 2*H2, IR offset
+    H2 - latency) delays its conv by H2 - offset = latency, exactly like the
+    near tier. Non-uniform partitioning IS the reference's own answer to this
+    cost structure (MonoConvolve.cpp:26-31) — applied here to the far tail at
+    block granularity."""
+    ir = np.asarray(ir)
+    h2 = _far_hop(scheme, ir.shape[-1])
+    if not h2:
+        return None
+    o2 = h2 - scheme.latency
+    if ir.shape[-1] <= o2:
+        return None  # far tier would be empty
+    return part.impulse_spectra(ir, 2 * h2, o2, 0, dtype, backend)
 
 
 def _make_offline_tail(scheme: PartitionScheme, ir, dtype, backend):
@@ -421,6 +505,152 @@ def init_stream_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),
                            tuple(sections))
 
 
+def init_block_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),
+                     dtype=jnp.float32) -> MonoBlockState:
+    """Fresh state for the TWO-TIER block-collapsed path (requires an IR
+    prepared with a far tier — :class:`MonoIR.far`). Blocks fed to
+    :func:`process` with this state must be multiples of the far hop
+    (``ir.far.shape[-1]`` samples)."""
+    if ir.far is None or ir.block0 is None:
+        raise ConvolveException(
+            ConvolveError.MEM_UNAVAILABLE,
+            "IR has no far tier: prepare_ir builds one for multi-section "
+            "schemes whose IR extends past the far hop")
+    del scheme  # the prepared IR fully determines the state shapes
+    h = ir.spectra[-1].shape[-1]
+    p = ir.spectra[-1].shape[-2]
+    h2 = ir.far.shape[-1]
+    p2 = ir.far.shape[-2]
+    g = h2 // h
+    near = part.PartitionedState(
+        prev=jnp.zeros(batch_shape + (h,), dtype),
+        ring=Split.zeros(batch_shape + (g - 1, h), dtype),
+        pos=jnp.zeros((), jnp.int32))
+    far = part.PartitionedState(
+        prev=jnp.zeros(batch_shape + (h2,), dtype),
+        ring=Split.zeros(batch_shape + (p2, h2), dtype),
+        pos=jnp.zeros((), jnp.int32))
+    # Hop rows covering BOTH rebuild reach-backs: the final section's state
+    # ((P-1)*h + N = (P+1)*h samples) for the per-section hand-off, and the
+    # far ring's ((P2+1)*H2 samples) for block_state_from_aligned.
+    s = max(p + 1, (p2 + 1) * g)
+    hist = jnp.zeros(batch_shape + (s, h), dtype)
+    return MonoBlockState(near, far, hist, jnp.zeros((), jnp.int32))
+
+
+def _hist_push(hist: jax.Array, hpos: jax.Array, x: jax.Array
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Append ``x``'s hop rows to the raw-history ring (oldest at ``hpos``)."""
+    s = hist.shape[-2]
+    h = hist.shape[-1]
+    t = x.shape[-1] // h
+    rows = x.reshape(*x.shape[:-1], t, h)
+    if t >= s:
+        return rows[..., -s:, :].astype(hist.dtype), jnp.zeros((), jnp.int32)
+    for j in range(t):
+        hist = jax.lax.dynamic_update_index_in_dim(
+            hist, rows[..., j, :].astype(hist.dtype), (hpos + j) % s, -2)
+    return hist, (hpos + t) % s
+
+
+def _hist_linear(hist: jax.Array, hpos: jax.Array) -> jax.Array:
+    """Unroll the raw-history ring oldest-first into (..., S*h) samples."""
+    s = hist.shape[-2]
+    order = (hpos + jnp.arange(s, dtype=jnp.int32)) % s
+    lin = jnp.take(hist, order, axis=-2)
+    return lin.reshape(*lin.shape[:-2], s * hist.shape[-1])
+
+
+def _process_block_two_tier(ir: MonoIR, state: MonoBlockState, x: jax.Array,
+                            backend: Optional[str]
+                            ) -> Tuple[MonoBlockState, jax.Array]:
+    """TWO-TIER hop-aligned processing: near ring + far ring + zero-delay term.
+
+    The single-tier collapse (:func:`_process_block_collapsed`) MACs the whole
+    far IR at the final hop — the measured VPU-pinned cost of the streaming
+    bench (BASELINE.md round 4: ~72% of the block). Splitting the coverage
+
+    - ``block0``  : ir[0 : h - latency]          (lag 0 on the hop's own frame),
+    - near ring   : ir[h - latency : G*h - latency] — the final section's first
+                    G-1 partitions at hop h,
+    - far ring    : ir[G*h - latency : ]          — re-chunked at hop G*h,
+
+    keeps the exact output (each term delays its conv by the scheme latency)
+    while the dominant MAC runs at the offline engine's FLOPs/sample. The far
+    engine is a plain :meth:`partitioned.PartitionedConvolve.process_block`
+    at the offline-optimal FFT size — on TPU it rides the same fused chain
+    kernel as the offline path. Reference analogue: the non-uniform section
+    ladder itself (MonoConvolve.cpp:26-31), extended one rung past the
+    preset's largest size at block granularity."""
+    h = ir.spectra[-1].shape[-1]
+    h2 = ir.far.shape[-1]
+    g = h2 // h
+    if x.shape[-1] % h2:
+        raise ValueError(
+            f"two-tier block length {x.shape[-1]} must be a multiple of the "
+            f"far hop {h2}")
+    near_spec = Split(ir.spectra[-1].re[..., :g - 1, :],
+                      ir.spectra[-1].im[..., :g - 1, :])
+    near, y = part.PartitionedConvolve.process_block(
+        near_spec, state.near, x, backend=backend, lag0=ir.block0)
+    far, y_far = part.PartitionedConvolve.process_block(
+        ir.far, state.far, x, backend=backend)
+    hist, hpos = _hist_push(state.hist, state.hpos, x)
+    return MonoBlockState(near, far, hist, hpos), y + y_far
+
+
+def aligned_state_from_block(ir: MonoIR, state: MonoBlockState,
+                             backend: Optional[str] = None) -> MonoState:
+    """Project a two-tier block state onto the per-section :class:`MonoState`.
+
+    Every section's state is a deterministic function of the last
+    (P_final+1)*h input samples — exactly what ``state.hist`` carries — so the
+    rebuild transforms the same frames the per-section engine would have and
+    the hand-off continues as if the per-section path had run throughout."""
+    tail = _hist_linear(state.hist, state.hpos)
+    head = jnp.zeros(tail.shape[:-1] +
+                     (max(int(ir.head_taps.shape[-1]) - 1, 1),), tail.dtype)
+    if ir.head_taps.shape[-1]:
+        head = tail[..., -head.shape[-1]:]
+    sections = tuple(_refresh_aligned_section(spec, tail, backend)
+                     for spec in ir.spectra)
+    return MonoState(head, sections)
+
+
+def stream_state_from_block(ir: MonoIR, state: MonoBlockState,
+                            backend: Optional[str] = None) -> MonoStreamState:
+    """Hand a two-tier block state to the sample-granular path."""
+    return stream_state_from_aligned(
+        ir, aligned_state_from_block(ir, state, backend), backend)
+
+
+def block_state_from_aligned(ir: MonoIR, state: MonoState, hist: jax.Array,
+                             backend: Optional[str] = None) -> MonoBlockState:
+    """Lift a hop-aligned per-section state into the two-tier form.
+
+    ``hist``: the last (P_final+1)*h raw input samples ending at the stream
+    head (callers that cannot supply full history may zero-pad on the left —
+    the far ring is then rebuilt as if the stream had started inside the
+    window, and the first P2 far hops re-converge as real history arrives).
+    The near and far rings are rebuilt from ``hist`` via the same
+    frame-refresh the per-section hand-off uses."""
+    del state  # the raw history fully determines the two-tier state
+    h = ir.spectra[-1].shape[-1]
+    p = ir.spectra[-1].shape[-2]
+    p2 = ir.far.shape[-2]
+    g = ir.far.shape[-1] // h
+    need = max(p + 1, (p2 + 1) * g) * h
+    if hist.shape[-1] != need:
+        raise ValueError(f"hist must carry {need} samples, got {hist.shape[-1]}")
+    near_full = _refresh_aligned_section(
+        Split(ir.spectra[-1].re[..., :g - 1, :],
+              ir.spectra[-1].im[..., :g - 1, :]), hist, backend)
+    far_full = _refresh_aligned_section(ir.far, hist, backend)
+    rows = hist.reshape(*hist.shape[:-1], need // h, h)
+    return MonoBlockState(near_full, far_full, rows,
+                          jnp.zeros((), jnp.int32))
+
+
 def stream_state_from_aligned(ir: MonoIR, state: MonoState,
                               backend: Optional[str] = None) -> MonoStreamState:
     """Lift a hop-aligned MonoState into the sample-granular form; streaming
@@ -453,14 +683,19 @@ def process_any(ir: MonoIR, state: MonoStreamState, x: jax.Array,
     return MonoStreamState(head_state, tuple(new_sections)), out
 
 
-def process(ir: MonoIR, state: MonoState, x: jax.Array,
+def process(ir: MonoIR, state, x: jax.Array,
             backend: Optional[str] = None) -> Tuple[MonoState, jax.Array]:
     """Stream a block whose length is a multiple of the largest hop. Pure/jittable.
 
+    With a :class:`MonoBlockState` (``init_block_state``, far-tier IRs) the
+    scheme runs as the TWO-TIER engine — near ring + far ring + zero-delay
+    term (:func:`_process_block_two_tier`; block quantum = the far hop).
     With ``ir.block0`` present (any multi-section scheme) the whole scheme runs
     as ONE uniform engine per block — see :func:`_process_block_collapsed`;
     the per-section path below remains for single-section schemes and IRs
     prepared before round 3."""
+    if isinstance(state, MonoBlockState):
+        return _process_block_two_tier(ir, state, x, backend)
     if (ir.block0 is not None and x.shape[-1] > 0
             and x.shape[-1] % (ir.spectra[-1].shape[-1]) == 0):
         return _process_block_collapsed(ir, state, x, backend)

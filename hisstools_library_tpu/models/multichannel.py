@@ -229,7 +229,7 @@ class Convolver:
             tail, shift = mono._make_offline_tail(self.scheme, self._bank,
                                                   self._dtype, self._backend)
             self.ir = mono.MonoIR(self.ir.head_taps, self.ir.spectra,
-                                  tail, shift)
+                                  tail, shift, self.ir.block0, self.ir.far)
         return process_offline(self.ir, ins, self.parallel, backend=backend)
 
     def reset(self, *, in_chan: Optional[int] = None,

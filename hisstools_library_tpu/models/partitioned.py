@@ -485,7 +485,8 @@ class PartitionedConvolve:
         if (backend == "pallas" and mac_backend in ("auto", "pallas")
                 and x.dtype != jnp.float64 and mega_ok
                 and os.environ.get("HISSTOOLS_FASTFIR_CHAIN", "1") != "0"
-                and pallas_fft.fastfir_stream_feasible(n, p)):
+                and pallas_fft.fastfir_stream_feasible(
+                    n, p, lag0=lag0 is not None)):
             hr_b = jnp.broadcast_to(spectra.re, lead + (p, h)
                                     ).reshape(lead_n, p, h)
             hi_b = jnp.broadcast_to(spectra.im, lead + (p, h)

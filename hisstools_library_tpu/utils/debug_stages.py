@@ -412,6 +412,120 @@ def stream_stage_report(ir, x_warm, x_block, scheme=None,
     return report
 
 
+def pipeline_stage_report(measured, excitation,
+                          sample_rate: float = 48000.0,
+                          regularization: float = 1e-9,
+                          smooth_widths=(1.0, 63.0),
+                          n_peaks: int = 16,
+                          stft_size: int = 1024, stft_hop: int = 512,
+                          backend: Optional[str] = None) -> List[StageSNR]:
+    """Per-stage SNR of the config-5 IR-measurement chain (deconvolve -> STFT
+    amplitude -> variable-width smooth -> peaks -> partial tracking) — the
+    decomposition of the bench's single end-to-end number (BASELINE config 5).
+
+    Each stage runs twice through the SAME framework functions
+    (models.pipeline.ir_deconvolve, ops.stft, ops.smoothing.smooth,
+    models.pipeline.find_peaks, models.partial_tracker.process): once at f32
+    (the production dtype; ``backend`` selects the kernels) and once at f64
+    (the oracle — requires the x64-capable CPU backend; run this report on
+    CPU, where XLA executes the identical stage algorithms in both widths).
+
+    Two numbers per stage localise a loss: ``<stage>`` feeds the f32 stage
+    the f64 upstream result (isolated — only this stage's arithmetic
+    differs), ``<stage> cum`` compares the full f32 chain so far (where the
+    end-to-end number actually stands after this stage). Reference analogue:
+    the HIRT deconvolution core + per-frame tracker drive
+    (SpectralFunctions.hpp:283-336, PartialTracker.hpp:224-289)."""
+    import jax.numpy as jnp
+
+    from ..models import partial_tracker as pt
+    from ..models.pipeline import find_peaks, ir_deconvolve
+    from ..ops import smoothing, stft as stft_mod, windows
+
+    if jnp.zeros((), jnp.float64).dtype != jnp.float64:
+        raise RuntimeError(
+            "pipeline_stage_report needs a float64 oracle: enable x64 "
+            "(JAX_ENABLE_X64=1 / jax.config.update('jax_enable_x64', True)) "
+            "and run on the CPU backend — without it both chains silently "
+            "run f32 and every stage reads inf dB")
+
+    kernel = np.asarray(windows.hann(127, dtype=jnp.float64))[63:]
+    win = np.asarray(windows.hann(stft_size - 1, dtype=jnp.float64))
+    m64 = np.asarray(measured, np.float64)
+    e64 = np.asarray(excitation, np.float64)
+
+    def chain(dtype, h=None, amp=None, smoothed=None, peaks=None):
+        """Run the chain from the first stage whose input is not supplied."""
+        out = {}
+        if h is None:
+            h = ir_deconvolve(jnp.asarray(m64, dtype), jnp.asarray(e64, dtype),
+                              regularization, backend=backend)
+            h = jnp.mean(h, axis=0) if h.ndim > 1 else h
+        out["h"] = h = jnp.asarray(h, dtype)
+        if amp is None:
+            S = stft_mod.stft(h, win, stft_size, stft_hop, backend=backend)
+            amp = jnp.sqrt(S.re * S.re + S.im * S.im) * 0.5
+            amp = amp.at[..., 0].set(jnp.abs(S.re[..., 0]) * 0.5)
+        out["amp"] = amp = jnp.asarray(amp, dtype)
+        if smoothed is None:
+            smoothed = smoothing.smooth(
+                amp, kernel, smooth_widths[0], smooth_widths[1],
+                symmetric=True, edges=smoothing.EdgeMode.Extend,
+                backend=backend)
+        out["smoothed"] = smoothed = jnp.asarray(smoothed, dtype)
+        if peaks is None:
+            peaks = find_peaks(smoothed, n_peaks,
+                               bin_hz=sample_rate / stft_size)
+        out["freqs"] = jnp.asarray(peaks[0], dtype)
+        out["amps"] = jnp.asarray(peaks[1], dtype)
+        n_valid = jnp.sum(out["amps"] > 0.0, axis=-1)
+        cfg = pt.TrackerConfig(max_peaks=n_peaks, max_tracks=n_peaks)
+        st0 = pt.TrackerState.init(cfg.max_tracks, dtype)
+
+        def step(st, frame):
+            f, a, nv = frame
+            st, _ = pt.process(cfg, st, f, a, nv, 0.0)
+            return st, (st.freq, st.amp, st.state)
+
+        _, (tf, ta, ts) = jax.lax.scan(step, st0,
+                                       (out["freqs"], out["amps"], n_valid))
+        out["tf"], out["ta"], out["ts"] = tf, ta, ts
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+    ref = chain(jnp.float64)
+    cum = chain(jnp.float32)
+
+    report = [StageSNR("deconvolve", snr_db(ref["h"], cum["h"]))]
+
+    iso_amp = chain(jnp.float32, h=ref["h"].astype(np.float32))
+    report.append(StageSNR("stft_amp", snr_db(ref["amp"], iso_amp["amp"])))
+    report.append(StageSNR("stft_amp cum", snr_db(ref["amp"], cum["amp"])))
+
+    iso_sm = chain(jnp.float32, h=ref["h"].astype(np.float32),
+                   amp=ref["amp"].astype(np.float32))
+    report.append(StageSNR("smooth", snr_db(ref["smoothed"],
+                                            iso_sm["smoothed"])))
+    report.append(StageSNR("smooth cum", snr_db(ref["smoothed"],
+                                                cum["smoothed"])))
+
+    iso_pk = chain(jnp.float32, h=ref["h"].astype(np.float32),
+                   amp=ref["amp"].astype(np.float32),
+                   smoothed=ref["smoothed"].astype(np.float32))
+    report.append(StageSNR("peaks", snr_db(ref["amps"], iso_pk["amps"])))
+    report.append(StageSNR("peaks cum", snr_db(ref["amps"], cum["amps"])))
+    report.append(StageSNR("peak_freqs cum", snr_db(ref["freqs"],
+                                                    cum["freqs"])))
+
+    iso_tr = chain(jnp.float32, h=ref["h"].astype(np.float32),
+                   amp=ref["amp"].astype(np.float32),
+                   smoothed=ref["smoothed"].astype(np.float32),
+                   peaks=(ref["freqs"].astype(np.float32),
+                          ref["amps"].astype(np.float32)))
+    report.append(StageSNR("track", snr_db(ref["tf"], iso_tr["tf"])))
+    report.append(StageSNR("track cum", snr_db(ref["tf"], cum["tf"])))
+    return report
+
+
 def _direct_conv64(x: np.ndarray, ir: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float64)
     ir = np.asarray(ir, np.float64)

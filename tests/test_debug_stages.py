@@ -86,3 +86,53 @@ def test_stream_stage_report_localises_refresh_perturbation(rng, monkeypatch):
     assert snrs["ring_mac"] > 95.0
     assert snrs["section_refresh"] < 80.0
     assert snrs["subhop_fire"] > 95.0
+
+
+# -- config-5 pipeline decomposition (round 5) --------------------------------
+
+def _pipeline_inputs(rng, sig_len=16384, fs=48000.0):
+    t = np.arange(sig_len) / fs
+    exc = np.sin(2 * np.pi * (20.0 * (1000.0 ** (t / t[-1]))) * t)
+    ir_true = rng.standard_normal(1024) * np.exp(-np.arange(1024) / 1200.0)
+    measured = np.convolve(exc, ir_true)
+    return measured, exc
+
+
+def _pipeline_report(measured, exc):
+    rep = debug_stages.pipeline_stage_report(
+        measured, exc, regularization=1e-9, stft_size=256, stft_hop=128,
+        n_peaks=8)
+    return {s.stage: s.snr_db for s in rep}
+
+
+def test_pipeline_stage_report_healthy(rng):
+    snrs = _pipeline_report(*_pipeline_inputs(rng))
+    expected = {"deconvolve", "stft_amp", "smooth", "peaks", "track",
+                "stft_amp cum", "smooth cum", "track cum"}
+    assert expected <= set(snrs)
+    # Isolated stages: each stage's own f32 arithmetic is clean.
+    for stage in ("stft_amp", "smooth", "peaks"):
+        assert snrs[stage] > 80.0, f"{stage} only {snrs[stage]:.1f} dB"
+    # The end-to-end number is bounded by the deconvolution conditioning
+    # (regularised spectral division in f32), not by downstream stages:
+    # every cumulative stage sits at/above the deconvolve SNR ballpark.
+    assert snrs["deconvolve"] > 50.0
+
+
+def test_pipeline_stage_report_localises_smooth_perturbation(rng, monkeypatch):
+    """A corrupted f32 smooth drops the smooth stage while deconvolve and
+    stft_amp stay clean — the report isolates the stage that broke."""
+    from hisstools_library_tpu.ops import smoothing
+
+    real = smoothing.smooth
+
+    def bad(series, kernel, w0, w1, **kw):
+        out = real(series, kernel, w0, w1, **kw)
+        if out.dtype == jnp.float32:  # only the device-width side
+            out = out * (1.0 + 1e-3)
+        return out
+
+    monkeypatch.setattr(smoothing, "smooth", bad)
+    snrs = _pipeline_report(*_pipeline_inputs(rng))
+    assert snrs["smooth"] < 70.0
+    assert snrs["stft_amp"] > 80.0
