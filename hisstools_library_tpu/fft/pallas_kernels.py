@@ -21,6 +21,7 @@ two real products afterwards (cheap (C,T)-sized fix-up) — same result as
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -423,16 +424,41 @@ def hop_fire(frame: jax.Array, ring_re: jax.Array, ring_im: jax.Array,
 # case; callers fall back otherwise).
 # -----------------------------------------------------------------------------
 
+_RING_NACC = 4
+
+# Accumulator form threshold: at small partition counts the scratch-RMW form
+# (temps die each lag -> 4-16x bigger tiles -> fewer grid steps) wins — far
+# tier (t=4, p=14, k=32768): 8.53 -> 7.64 ms. At large p the per-lag RMW
+# round trips through VMEM scratch cost more than the grid-step savings —
+# the single-tier shape (t=16, p=58) measured 21.7 ms in-situ vs 16.2 with
+# the register-accumulator form. Measured round 5 on v5e.
+_RING_ACC_MAX_P = 32
+
+
+def _ring_use_acc(p: int) -> bool:
+    env = os.environ.get("HISSTOOLS_RING_ACC", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return p <= _RING_ACC_MAX_P
+
+
 def _lag_mac_ring_kernel(hre_ref, him_ref, xre_ref, xim_ref, sre_ref, sim_ref,
                          yre_ref, yim_ref, nre_ref, nim_ref, vre_s, vim_s,
-                         *, t: int, p: int):
+                         *refs, t: int, p: int, use_acc: bool):
     # Virtual rows V = [hist | x] staged CONTIGUOUSLY in scratch, then the
-    # causal kernel's lag-major loop: one (t, tile) value accumulator, one
-    # static sliding slice per lag, no per-row reductions. The previous
-    # ti-major form (per-output-row partial sums over split hist/x slices +
-    # narrow single-lane DC/Nyquist accumulation) measured 0.84 logical
+    # causal kernel's lag-major loop: one static sliding slice per lag, no
+    # per-row reductions. The previous ti-major form measured 0.84 logical
     # TF/s on the VPU vs the causal kernel's 1.62 at the same FLOP count —
     # the round-4 streaming bottleneck (9.26 ms of a 12.6 ms block).
+    #
+    # Two accumulation forms (see _RING_ACC_MAX_P):
+    # - use_acc: accumulate into a SCRATCH buffer (RMW per lag) so each
+    #   iteration's product temporaries die at the store and Mosaic's scoped
+    #   stack REUSES them — the live-jnp-accumulator form holds every
+    #   unrolled iteration's temps live (the 16*t*p*tile model term), capping
+    #   the tile and making the kernel per-grid-step-overhead bound.
+    # - else: FOUR interleaved register accumulators (independent dependency
+    #   chains so the VPU overlaps multiply-accumulate latency).
     #
     # The packed DC/Nyquist lane is NOT special-cased here: the wrapper
     # overwrites bin 0 with the exact packed product computed in XLA.
@@ -440,42 +466,78 @@ def _lag_mac_ring_kernel(hre_ref, him_ref, xre_ref, xim_ref, sre_ref, sim_ref,
     vim_s[:p, :] = him_ref[0]
     vre_s[p:, :] = xre_ref[0]
     vim_s[p:, :] = xim_ref[0]
-    # FOUR interleaved partial accumulators: a single accumulator makes the
-    # unrolled P-lag chain one long serial dependency (P = 58 at the stream
-    # shape — the multiply-accumulate latency can't hide and the kernel
-    # measured only ~0.85 logical TF/s); splitting by lag%4 gives four
-    # independent chains the VPU can overlap, summed once at the end.
-    width = yre_ref.shape[-1]
-    nacc = min(4, p)
-    accs = [[jnp.zeros((t, width), jnp.float32) for _ in range(2)]
-            for _ in range(nacc)]
-    for lag in range(p):
-        start = p - 1 - lag
-        xr = vre_s[start:start + t, :]
-        xi = vim_s[start:start + t, :]
-        hr = sre_ref[0, lag:lag + 1, :]
-        hi = sim_ref[0, lag:lag + 1, :]
-        a = accs[lag % nacc]
-        a[0] = a[0] + (xr * hr - xi * hi)
-        a[1] = a[1] + (xr * hi + xi * hr)
-    yre_ref[0] = sum(a[0] for a in accs)
-    yim_ref[0] = sum(a[1] for a in accs)
+    nacc = min(_RING_NACC, p)
+    if use_acc:
+        acc_s = refs[0]
+        for lag in range(p):
+            start = p - 1 - lag
+            xr = vre_s[start:start + t, :]
+            xi = vim_s[start:start + t, :]
+            hr = sre_ref[0, lag:lag + 1, :]
+            hi = sim_ref[0, lag:lag + 1, :]
+            a = lag % nacc
+            if lag < nacc:
+                acc_s[2 * a] = xr * hr - xi * hi
+                acc_s[2 * a + 1] = xr * hi + xi * hr
+            else:
+                acc_s[2 * a] = acc_s[2 * a] + (xr * hr - xi * hi)
+                acc_s[2 * a + 1] = acc_s[2 * a + 1] + (xr * hi + xi * hr)
+        re = acc_s[0]
+        im = acc_s[1]
+        for a in range(1, nacc):
+            re = re + acc_s[2 * a]
+            im = im + acc_s[2 * a + 1]
+        yre_ref[0] = re
+        yim_ref[0] = im
+    else:
+        width = yre_ref.shape[-1]
+        accs = [[jnp.zeros((t, width), jnp.float32) for _ in range(2)]
+                for _ in range(nacc)]
+        for lag in range(p):
+            start = p - 1 - lag
+            xr = vre_s[start:start + t, :]
+            xi = vim_s[start:start + t, :]
+            hr = sre_ref[0, lag:lag + 1, :]
+            hi = sim_ref[0, lag:lag + 1, :]
+            a = accs[lag % nacc]
+            a[0] = a[0] + (xr * hr - xi * hi)
+            a[1] = a[1] + (xr * hi + xi * hr)
+        yre_ref[0] = sum(a[0] for a in accs)
+        yim_ref[0] = sum(a[1] for a in accs)
     # New ring = V[T : T+P), oldest-first, pos 0.
     nre_ref[0] = vre_s[t:, :]
     nim_ref[0] = vim_s[t:, :]
 
 
 def _pick_bin_tile_ring(t: int, p: int, bins: int) -> int:
-    # Double-buffered io blocks + the (P+T, tile) x2 virtual-rows scratch +
-    # the cumulative unrolled-lag product temporaries (Mosaic's scoped stack
-    # does not reuse across unrolled iterations — same live-set behaviour as
-    # the causal kernel; validated by tools/vmem_probe.py).
+    # Double-buffered io blocks + the (P+T, tile) x2 virtual-rows scratch,
+    # plus per-form terms:
+    # - acc form: the (2*nacc, t, tile) accumulator scratch + ONE iteration's
+    #   product temporaries + an empirical 4*t*p*tile residual Mosaic
+    #   allocates beyond the nominal live set (calibrated round 5 on v5e
+    #   against the 16 MB scoped limit: (t=16,p=58,tile=2048) aborts at
+    #   16.18 MB where this model says 17.4; (t=4,p=14,tile=8192) compiles
+    #   at a modeled 11.1). Budget 14 MiB of the 16 MB hardware limit.
+    # - register form: cumulative unrolled-lag temporaries (16*t*p*tile — the
+    #   scoped stack does not reuse across unrolled iterations), original
+    #   10 MiB budget (validated through rounds 2-4).
+    # HISSTOOLS_VMEM_SCALE scales both; tools/vmem_probe.py is the gate.
+    nacc = min(_RING_NACC, p)
     tile = min(bins, 8192)
     while tile >= 128:
-        need = (4 * 2 * 2 * (3 * p + 3 * t) * tile
-                + 4 * 2 * (p + t) * tile
-                + 16 * t * p * tile)
-        if need <= _VMEM_BUDGET and bins % tile == 0:
+        if _ring_use_acc(p):
+            need = (4 * 2 * 2 * (3 * p + 2 * t) * tile
+                    + 4 * 2 * (p + t) * tile
+                    + 4 * 2 * nacc * t * tile
+                    + 16 * t * tile
+                    + 4 * t * p * tile)
+            budget = vmem_budget(14)
+        else:
+            need = (4 * 2 * 2 * (3 * p + 3 * t) * tile
+                    + 4 * 2 * (p + t) * tile
+                    + 16 * t * p * tile)
+            budget = _VMEM_BUDGET
+        if need <= budget and bins % tile == 0:
             return tile
         tile //= 2
     return 0
@@ -508,14 +570,19 @@ def lag_mac_ring(hist_re: jax.Array, hist_im: jax.Array,
                           memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, t, tile), lambda ci, ki: (ci, 0, ki),
                           memory_space=pltpu.VMEM)
+    use_acc = _ring_use_acc(p)
+    scratch = [pltpu.VMEM((p + t, tile), jnp.float32)] * 2
+    if use_acc:
+        scratch += [pltpu.VMEM((2 * min(_RING_NACC, p), t, tile),
+                               jnp.float32)]
     yre, yim, nre, nim = pl.pallas_call(
-        functools.partial(_lag_mac_ring_kernel, t=t, p=p),
+        functools.partial(_lag_mac_ring_kernel, t=t, p=p, use_acc=use_acc),
         grid=grid,
         in_specs=[h_spec, h_spec, x_spec, x_spec, h_spec, h_spec],
         out_specs=[x_spec, x_spec, h_spec, h_spec],
         out_shape=[jax.ShapeDtypeStruct((c, t, k), x_re.dtype)] * 2 +
                   [jax.ShapeDtypeStruct((c, p, k), x_re.dtype)] * 2,
-        scratch_shapes=[pltpu.VMEM((p + t, tile), jnp.float32)] * 2,
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * c * t * p * k,

@@ -591,10 +591,13 @@ def _process_block_two_tier(ir: MonoIR, state: MonoBlockState, x: jax.Array,
             f"far hop {h2}")
     near_spec = Split(ir.spectra[-1].re[..., :g - 1, :],
                       ir.spectra[-1].im[..., :g - 1, :])
+    # assume_pos0: both tier states are created by init_block_state or a
+    # previous process_block — always slot-normalised (pos == 0).
     near, y = part.PartitionedConvolve.process_block(
-        near_spec, state.near, x, backend=backend, lag0=ir.block0)
+        near_spec, state.near, x, backend=backend, lag0=ir.block0,
+        assume_pos0=True)
     far, y_far = part.PartitionedConvolve.process_block(
-        ir.far, state.far, x, backend=backend)
+        ir.far, state.far, x, backend=backend, assume_pos0=True)
     hist, hpos = _hist_push(state.hist, state.hpos, x)
     return MonoBlockState(near, far, hist, hpos), y + y_far
 

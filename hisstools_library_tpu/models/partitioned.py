@@ -421,7 +421,8 @@ class PartitionedConvolve:
     def process_block(spectra: Split, state: PartitionedState, x: jax.Array,
                       backend: Optional[str] = None,
                       mac_backend: str = "auto",
-                      lag0: Optional[Split] = None
+                      lag0: Optional[Split] = None,
+                      assume_pos0: bool = False
                       ) -> Tuple[PartitionedState, jax.Array]:
         """Advance the streaming engine by all of ``x``'s hops at once.
 
@@ -438,7 +439,13 @@ class PartitionedConvolve:
         the zero-delay partition Y_t += X_t * lag0 that the standard engine
         (one-hop delay, IR offset = hop) has no slot for. mono.process uses
         it to collapse a whole non-uniform scheme into this single engine at
-        block granularity (see mono._process_block_collapsed)."""
+        block granularity (see mono._process_block_collapsed).
+
+        ``assume_pos0``: static promise that ``state.pos == 0`` (states from
+        init or a previous process_block — the mono block paths' invariant).
+        Skips the slot-normalise ``lax.cond``, whose identity branch still
+        costs a full ring copy in XLA (~1.6 ms at the far-tier shape,
+        measured round 5)."""
         from ..fft import pallas_fft
 
         h = spectra.shape[-1]
@@ -464,24 +471,29 @@ class PartitionedConvolve:
             s = PartitionedConvolve._slot_normalise(Split(*planes), state.pos)
             return (s.re, s.im)
 
-        hist0_re, hist0_im = jax.lax.cond(
-            state.pos == 0, lambda planes: planes, _normalise,
-            (state.ring.re, state.ring.im))
+        if assume_pos0:
+            hist0_re, hist0_im = state.ring.re, state.ring.im
+        else:
+            hist0_re, hist0_im = jax.lax.cond(
+                state.pos == 0, lambda planes: planes, _normalise,
+                (state.ring.re, state.ring.im))
 
         # Whole-chain streaming mega-kernel (pallas_fft.fastfir_chain_stream):
         # rFFT -> preloaded spectra ring -> MAC (+ the lag-0 zero-delay
         # partition on the hop's own spectrum) -> tail riFFT in ONE kernel,
         # emitting both the outputs and the slot-normalised new ring.
         #
-        # With lag0 (the collapsed Zero-preset block path) the kernel is
-        # OPT-IN (HISSTOOLS_STREAM_MEGA=1): measured round 4 on v5e at the
-        # stream-bench shape (C=128, N=16384, P=58, T=16) it runs 17.5
-        # ms/pass vs 15.25 for the staged chain below — the hop-sequential
-        # grid (2048 tiny steps) pays more per-step skeleton than it saves
-        # in HBM traffic at streaming hop sizes. docs/ROADMAP.md dead end 9.
+        # Default policy (measured round 5 on v5e): the kernel wins ONLY at
+        # small partition counts — its per-channel ring preload/writeback
+        # DMAs stall the hop pipeline, costing ~60 us/channel at P=14
+        # (13.7 ms vs the stateless offline kernel's 6.2 at the identical
+        # shape) and it lost at P=58 both with lag0 (17.5 vs 15.25, round-4
+        # dead end 9) and grouped. At P<=8 the ring is small and the fused
+        # chain beats the staged path ~2x (near tier: 3.5 vs 6.7 ms at
+        # P=3+lag0). HISSTOOLS_STREAM_MEGA=1/0 forces it on/off for probing.
         lead_n = int(np.prod(lead)) if lead else 1
-        mega_ok = (lag0 is None
-                   or os.environ.get("HISSTOOLS_STREAM_MEGA", "0") == "1")
+        mega_env = os.environ.get("HISSTOOLS_STREAM_MEGA", "")
+        mega_ok = (p <= 8) if mega_env == "" else (mega_env == "1")
         if (backend == "pallas" and mac_backend in ("auto", "pallas")
                 and x.dtype != jnp.float64 and mega_ok
                 and os.environ.get("HISSTOOLS_FASTFIR_CHAIN", "1") != "0"

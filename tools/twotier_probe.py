@@ -194,12 +194,55 @@ def main():
         z = jnp.zeros((C, t2, h2), jnp.float32)
         return (z, z)
 
+    # single-tier ring MAC alone (t=16, p=P, k=h)
+    p1 = ir.spectra[-1].shape[-2]
+
+    def onemac_fn(mir, s, xx):
+        hist_re, hist_im, xre, xim = s
+        hr = jnp.broadcast_to(mir.spectra[-1].re, (C, p1, h))
+        hi = jnp.broadcast_to(mir.spectra[-1].im, (C, p1, h))
+        yre, yim, nre, nim = pk.lag_mac_ring(hist_re, hist_im, xre, xim,
+                                             hr, hi)
+        del xx
+        return (nre, nim, xre, xim), yre[..., :1]
+
+    def onemac0():
+        r = jnp.zeros((C, p1, h), jnp.float32)
+        xs = jnp.zeros((C, L // h, h), jnp.float32)
+        return (r, r, xs, xs)
+
     def dummy0():
         return (jnp.zeros((), jnp.int32),)
 
+    # raw mega stream kernel at the far shape, no process_block glue
+    def farmega_fn(mir, s, xx):
+        ring_re, ring_im, prev = s
+        y, nr, ni = pallas_fft.fastfir_chain_stream(
+            xx.reshape(C, t2, h2), prev, ring_re, ring_im,
+            mir.far.re, mir.far.im, scale=1.0 / (8.0 * h2))
+        return (nr, ni, xx.reshape(C, t2, h2)[:, -1]), y[..., :1]
+
+    def farmega0():
+        z = jnp.zeros((C, p2, h2), jnp.float32)
+        return (z, z, jnp.zeros((C, h2), jnp.float32))
+
+    # raw offline chain kernel on the same hops (stateless reference)
+    def faroff_fn(mir, s, xx):
+        y = pallas_fft.fastfir_chain(
+            xx.reshape(C, t2, h2), mir.far.re, mir.far.im,
+            scale=1.0 / (8.0 * h2))
+        return s, y[..., :1]
+
     which = os.environ.get("PROBE", "near,nearn,far,hist,two,one").split(",")
+    if "farmega" in which:
+        slope("far mega kernel (raw)", farmega_fn, farmega0, donate=False)
+    if "faroff" in which:
+        slope("far offline kernel (stateless)", faroff_fn, dummy0,
+              donate=False)
     if "farfft" in which:
         slope("far rfft (T2+1 frames)", farfft_fn, dummy0, donate=False)
+    if "onemac" in which:
+        slope("single-tier ring MAC", onemac_fn, onemac0, donate=False)
     if "farmac" in which:
         slope("far ring MAC", farmac_fn, farmac0, donate=False)
     if "fartail" in which:
