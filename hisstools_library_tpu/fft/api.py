@@ -131,6 +131,15 @@ def _log2_size(n: int) -> int:
 # raise (a batch of transforms this large does not fit HBM).
 MAX_SINGLE_CHIP_LOG2 = 25
 
+# Measured crossover (round 5, tools/fft_crossover.py on v5e): the chunked
+# out-of-core four-step BEATS the whole-array staged path at every 1-D size
+# probed — 2^20 3.1 vs 8.6 ms, 2^21 7.0 vs 17.3, 2^22 11.3 vs 34.8, 2^25
+# 80.5 vs 791.8 (roundtrip, ~131-132 dB both) — the staged whole-array
+# transposes thrash HBM. 1-D transforms at or above this size route
+# out-of-core on TPU regardless of backend; 2^20 stays with the pallas
+# split-pair kernels (the batched engine path).
+OVERSIZE_PREFERRED_LOG2 = 21
+
 
 def _on_tpu() -> bool:
     name = jax.default_backend()
@@ -142,13 +151,17 @@ def _on_tpu() -> bool:
 
 
 def _route_large(n: int, ndim: int, real: bool):
-    """Routing for transforms beyond the whole-array staged envelope on TPU.
+    """Routing for large transforms on TPU.
 
-    Returns None (in-envelope / not TPU), a Mesh (multi-device sharded
+    Returns None (no special routing / not TPU), a Mesh (multi-device sharded
     handoff), or the string "oversize" (single-chip out-of-core path). Applies
     to EVERY backend on TPU — including backend="xla", whose >2^25 program
     hits the same compiler abort (advisor round-3 finding)."""
-    if n <= (1 << MAX_SINGLE_CHIP_LOG2) or not _on_tpu():
+    if not _on_tpu():
+        return None
+    if n <= (1 << MAX_SINGLE_CHIP_LOG2):
+        if ndim == 1 and n >= (1 << OVERSIZE_PREFERRED_LOG2):
+            return "oversize"  # measured faster at every probed size
         return None
     if ndim != 1:
         raise ValueError(

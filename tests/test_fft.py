@@ -422,6 +422,35 @@ def test_large_fft_oversize_handoff(rng, monkeypatch):
     assert snr_db(z.real, fr) > 95.0 and snr_db(z.imag, fi) > 95.0
 
 
+def test_oversize_preferred_routing(rng, monkeypatch):
+    """Below the envelope, 1-D transforms at/above OVERSIZE_PREFERRED_LOG2
+    route to the chunked out-of-core path (measured faster than the staged
+    whole-array at EVERY probed size, round 5 — tools/fft_crossover.py);
+    batches keep the staged path. Thresholds lowered to run at test size."""
+    from hisstools_library_tpu.fft import api
+
+    monkeypatch.setattr(api, "OVERSIZE_PREFERRED_LOG2", 11)
+    monkeypatch.setattr(api, "_on_tpu", lambda: True)
+    calls = {}
+    from hisstools_library_tpu.fft import oversize as ov
+    real_fn = ov.rfft_packed_oversize
+
+    def spy(x, *a, **k):
+        calls["n"] = calls.get("n", 0) + 1
+        return real_fn(x, *a, **k)
+
+    monkeypatch.setattr(ov, "rfft_packed_oversize", spy)
+    n = 1 << 12
+    x = rng.standard_normal(n).astype(np.float32)
+    re, im = fft.rfft(jnp.asarray(x), backend="matmul")
+    assert calls.get("n") == 1  # 1-D routed out-of-core
+    ore, oim = packed_oracle(x.astype(np.float64)[None])
+    assert snr_db(ore[0], re) > 95.0 and snr_db(oim[0], im) > 95.0
+    fft.rfft(jnp.asarray(rng.standard_normal((2, n)).astype(np.float32)),
+             backend="matmul")
+    assert calls.get("n") == 1  # batch stays staged
+
+
 def test_oversize_fft_chunked_oracle(rng):
     """fft/oversize.py chunked four-step vs numpy at forced small chunk sizes
     (the identical code path the 2^26..2^28 single-chip transforms run)."""
