@@ -205,6 +205,16 @@ class Convolver:
         """ins: (N, L) -> outs (M, L) [parallel: (C, L) -> (C, L)]; streaming."""
         return process(self.ir, state, ins, self.parallel, backend=backend)
 
+    def init_block_state(self, dtype=jnp.float32) -> mono.MonoBlockState:
+        """Two-tier hop-aligned block state (mono.init_block_state): requires
+        a far-tier IR (long enough for the far hop); :meth:`process` blocks
+        must be multiples of ``ir.far.shape[-1]`` samples."""
+        if self.ir is None:
+            self.prepare(dtype)
+        batch = (self.num_ins,) if self.parallel else (self.num_outs,
+                                                       self.num_ins)
+        return mono.init_block_state(self.scheme, self.ir, batch, dtype)
+
     def init_stream_state(self, dtype=jnp.float32) -> mono.MonoStreamState:
         """Fresh sample-granular state for :meth:`process_any`."""
         if self.ir is None:

@@ -184,6 +184,42 @@ def test_block_state_from_aligned_roundtrip(rng):
     assert snr_db(np.asarray(y_a), np.asarray(y_b)) > 250
 
 
+def test_convolver_block_state_parallel(rng):
+    """multichannel.Convolver drives the two-tier path per channel."""
+    from hisstools_library_tpu.models import multichannel
+
+    conv = multichannel.Convolver(2, scheme=SCHEME)
+    irs = rng.standard_normal((2, IR_LEN)) * 0.3
+    conv.set_all(irs)
+    conv.prepare(dtype=jnp.float64)
+    st = conv.init_block_state(dtype=jnp.float64)
+    h2 = conv.ir.far.shape[-1]
+    x = rng.standard_normal((2, h2 * 2))
+    st, y = conv.process(st, jnp.asarray(x))
+    for c in range(2):
+        ref = np.convolve(x[c], irs[c])[:x.shape[-1]]
+        assert snr_db(ref, np.asarray(y)[c]) > 180
+
+
+def test_block_state_checkpoint_roundtrip(rng, tmp_path):
+    """MonoBlockState serialises through the checkpoint layer and resumes
+    identically (SURVEY §5 checkpoint/resume applies to the new state type)."""
+    from hisstools_library_tpu.utils import checkpoint
+
+    ir, mir = _prep(rng)
+    h2 = mir.far.shape[-1]
+    st = mono.init_block_state(SCHEME, mir, dtype=jnp.float64)
+    x1 = rng.standard_normal(h2)
+    st, _ = mono.process(mir, st, jnp.asarray(x1))
+    path = tmp_path / "blockstate.npz"
+    checkpoint.save_npz(str(path), {"state": st})
+    loaded = checkpoint.restore_npz(str(path), {"state": st})["state"]
+    x2 = rng.standard_normal(h2)
+    _, y_a = mono.process(mir, st, jnp.asarray(x2))
+    _, y_b = mono.process(mir, loaded, jnp.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
+
+
 def test_two_tier_f32_pallas_backend(rng):
     """The f32 path (ring/chain kernels in interpret mode on CPU) matches the
     oracle at f32 accuracy."""
