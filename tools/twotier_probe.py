@@ -233,7 +233,41 @@ def main():
             scale=1.0 / (8.0 * h2))
         return s, y[..., :1]
 
+    def slope_carry(label, fn, s0, m=6):
+        """Like slope() but the state CARRIES across chains (the bench's
+        pattern) instead of re-initialising to zeros per chain — isolates
+        whether warm state data explains the bench-vs-probe delta."""
+        stepf = jax.jit(fn, donate_argnums=(1,))
+        carried = {"s": s0()}
+
+        def chain(k):
+            y = None
+            for _ in range(k):
+                carried["s"], y = stepf(ir, carried["s"], x)
+            return y
+
+        sync(chain(2))
+
+        def best(k):
+            b = np.inf
+            for _ in range(3):
+                t0 = time.time()
+                yy = chain(k)
+                sync(yy)
+                b = min(b, time.time() - t0)
+            return b
+
+        t1, t2 = best(m), best(2 * m)
+        ms = (t2 - t1) / m * 1e3
+        print(f"{label:34s} {ms:8.2f} ms/pass  (chains {t1*1e3:.0f}/{t2*1e3:.0f})",
+              flush=True)
+        return ms
+
     which = os.environ.get("PROBE", "near,nearn,far,hist,two,one").split(",")
+    if "two_carry" in which:
+        slope_carry("two-tier composed (carried state)", two_fn, two0)
+    if "one_carry" in which:
+        slope_carry("single-tier (carried state)", one_fn, one0)
     if "farmega" in which:
         slope("far mega kernel (raw)", farmega_fn, farmega0, donate=False)
     if "faroff" in which:
