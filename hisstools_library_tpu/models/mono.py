@@ -532,7 +532,7 @@ def init_block_state(scheme: PartitionScheme, ir: MonoIR, batch_shape=(),
         pos=jnp.zeros((), jnp.int32))
     # Hop rows covering BOTH rebuild reach-backs: the final section's state
     # ((P-1)*h + N = (P+1)*h samples) for the per-section hand-off, and the
-    # far ring's ((P2+1)*H2 samples) for block_state_from_aligned.
+    # far ring's ((P2+1)*H2 samples) for block_state_from_hist.
     s = max(p + 1, (p2 + 1) * g)
     hist = jnp.zeros(batch_shape + (s, h), dtype)
     return MonoBlockState(near, far, hist, jnp.zeros((), jnp.int32))
@@ -627,17 +627,17 @@ def stream_state_from_block(ir: MonoIR, state: MonoBlockState,
         ir, aligned_state_from_block(ir, state, backend), backend)
 
 
-def block_state_from_aligned(ir: MonoIR, state: MonoState, hist: jax.Array,
-                             backend: Optional[str] = None) -> MonoBlockState:
-    """Lift a hop-aligned per-section state into the two-tier form.
+def block_state_from_hist(ir: MonoIR, hist: jax.Array,
+                          backend: Optional[str] = None) -> MonoBlockState:
+    """Build a two-tier block state from raw input history.
 
-    ``hist``: the last (P_final+1)*h raw input samples ending at the stream
-    head (callers that cannot supply full history may zero-pad on the left —
-    the far ring is then rebuilt as if the stream had started inside the
-    window, and the first P2 far hops re-converge as real history arrives).
-    The near and far rings are rebuilt from ``hist`` via the same
-    frame-refresh the per-section hand-off uses."""
-    del state  # the raw history fully determines the two-tier state
+    ``hist``: the last max(P_final+1, (P2+1)*G)*h raw input samples ending at
+    the stream head (callers that cannot supply full history may zero-pad on
+    the left — the far ring is then rebuilt as if the stream had started
+    inside the window). The near and far rings are rebuilt from ``hist`` via
+    the same frame-refresh the per-section hand-off uses, so a per-section
+    (or sample-granular) stream can be lifted into the two-tier form at any
+    hop boundary given its input history."""
     h = ir.spectra[-1].shape[-1]
     p = ir.spectra[-1].shape[-2]
     p2 = ir.far.shape[-2]

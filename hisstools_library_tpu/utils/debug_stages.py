@@ -412,6 +412,104 @@ def stream_stage_report(ir, x_warm, x_block, scheme=None,
     return report
 
 
+def two_tier_stage_report(ir, x_warm, x_block,
+                          scheme=None,
+                          backend: Optional[str] = None) -> List[StageSNR]:
+    """Per-stage SNR of the TWO-TIER block streaming path (round 5,
+    mono.MonoBlockState) — the same isolated-vs-cumulative discipline as
+    :func:`pipeline_stage_report`: each stage runs twice through the
+    framework's own functions, once at f32 (``backend`` selects kernels) and
+    once at f64 (requires the x64 CPU backend), fed the f64 chain's state.
+
+    Stages: ``near_block`` (G-1-partition ring + lag0 term), ``far_block``
+    (the far ring engine at hop G*h), ``two_tier_output`` (mono.process end
+    to end vs float64 direct convolution), ``handoff_continuation``
+    (aligned_state_from_block -> per-section process at f32 vs f64)."""
+    import jax.numpy as jnp
+
+    from ..core.types import Split as S
+    from ..models import mono, partitioned as part
+    from ..models.mono import LatencyMode, PartitionScheme
+
+    if jnp.zeros((), jnp.float64).dtype != jnp.float64:
+        raise RuntimeError("two_tier_stage_report needs the x64 CPU backend "
+                           "(the f64 oracle chain)")
+    if scheme is None:
+        scheme = PartitionScheme.from_latency(LatencyMode.Zero)
+    ir = np.asarray(ir)
+    xw = np.asarray(jax.device_get(x_warm), np.float64)
+    xb = np.asarray(jax.device_get(x_block), np.float64)
+    lead = xb.shape[:-1]
+
+    mirs = {}
+    states = {}
+    for dt in (jnp.float64, jnp.float32):
+        mirs[dt] = mono.prepare_ir(scheme, ir, dtype=dt, offline_tail=False)
+        if mirs[dt].far is None:
+            raise ValueError("IR too short for a far tier at this scheme")
+        s0 = mono.init_block_state(scheme, mirs[dt], batch_shape=lead,
+                                   dtype=dt)
+        states[dt], _ = mono.process(mirs[dt], s0, jnp.asarray(xw, dt),
+                                     backend=backend if dt == jnp.float32
+                                     else None)
+    m64, m32 = mirs[jnp.float64], mirs[jnp.float32]
+    st64 = states[jnp.float64]
+    report: List[StageSNR] = []
+
+    # Isolated near/far stages: the f32 stage consumes the f64 chain's state.
+    g = m64.far.shape[-1] // m64.spectra[-1].shape[-1]
+    near64 = S(m64.spectra[-1].re[..., :g - 1, :],
+               m64.spectra[-1].im[..., :g - 1, :])
+    near32 = S(m32.spectra[-1].re[..., :g - 1, :],
+               m32.spectra[-1].im[..., :g - 1, :])
+
+    def cast_state(s, dt):
+        return part.PartitionedState(
+            prev=jnp.asarray(s.prev, dt),
+            ring=S(jnp.asarray(s.ring.re, dt), jnp.asarray(s.ring.im, dt)),
+            pos=s.pos)
+
+    xb64 = jnp.asarray(xb, jnp.float64)
+    xb32 = jnp.asarray(xb, jnp.float32)
+    _, yn64 = part.PartitionedConvolve.process_block(
+        near64, cast_state(st64.near, jnp.float64), xb64, lag0=m64.block0,
+        assume_pos0=True)
+    _, yn32 = part.PartitionedConvolve.process_block(
+        near32, cast_state(st64.near, jnp.float32), xb32, backend=backend,
+        lag0=m32.block0, assume_pos0=True)
+    report.append(StageSNR("near_block", snr_db(yn64, yn32)))
+
+    _, yf64 = part.PartitionedConvolve.process_block(
+        m64.far, cast_state(st64.far, jnp.float64), xb64, assume_pos0=True)
+    _, yf32 = part.PartitionedConvolve.process_block(
+        m32.far, cast_state(st64.far, jnp.float32), xb32, backend=backend,
+        assume_pos0=True)
+    report.append(StageSNR("far_block", snr_db(yf64, yf32)))
+
+    # Cumulative end-to-end vs float64 direct convolution.
+    st32c, y32 = mono.process(m32, states[jnp.float32], xb32, backend=backend)
+    full = np.concatenate([xw, xb], axis=-1)
+    ref = _direct_conv64(full, ir)[..., xw.shape[-1]:]
+    lat = scheme.latency
+    if lat:
+        ref = _direct_conv64(np.concatenate(
+            [np.zeros(lead + (lat,)), full], axis=-1), ir)[
+                ..., xw.shape[-1]:xw.shape[-1] + xb.shape[-1]]
+    report.append(StageSNR("two_tier_output", snr_db(ref, y32)))
+
+    # Hand-off: project to the per-section form and continue one hop block.
+    st64b, _ = mono.process(m64, st64, xb64)
+    al32 = mono.aligned_state_from_block(m32, st32c, backend=backend)
+    al64 = mono.aligned_state_from_block(m64, st64b)
+    b = m64.spectra[-1].shape[-1]
+    xq = xb[..., -b * (xb.shape[-1] // b):]
+    _, yc64 = mono.process(m64, al64, jnp.asarray(xq, jnp.float64))
+    _, yc32 = mono.process(m32, al32, jnp.asarray(xq, jnp.float32),
+                           backend=backend)
+    report.append(StageSNR("handoff_continuation", snr_db(yc64, yc32)))
+    return report
+
+
 def pipeline_stage_report(measured, excitation,
                           sample_rate: float = 48000.0,
                           regularization: float = 1e-9,

@@ -88,6 +88,55 @@ def test_stream_stage_report_localises_refresh_perturbation(rng, monkeypatch):
     assert snrs["subhop_fire"] > 95.0
 
 
+# -- two-tier block streaming decomposition (round 5) -------------------------
+
+SCHEME_2T = PartitionScheme((32, 64, 128, 256), zero_latency=True)
+
+
+def _two_tier_report(rng):
+    ir = (rng.standard_normal((2, 4096)) * 0.3).astype(np.float32)
+    mirlen = None
+    # warm + timed blocks sized in far hops
+    from hisstools_library_tpu.models import mono as _m
+    mir = _m.prepare_ir(SCHEME_2T, ir, offline_tail=False)
+    h2 = mir.far.shape[-1]
+    xw = rng.standard_normal((2, 2 * h2)).astype(np.float32)
+    xb = rng.standard_normal((2, h2)).astype(np.float32)
+    rep = debug_stages.two_tier_stage_report(ir, xw, xb, scheme=SCHEME_2T,
+                                             backend="pallas")
+    return {s.stage: s.snr_db for s in rep}
+
+
+def test_two_tier_stage_report_healthy(rng):
+    snrs = _two_tier_report(rng)
+    assert {"near_block", "far_block", "two_tier_output",
+            "handoff_continuation"} <= set(snrs)
+    for stage, db in snrs.items():
+        assert db > 90.0, f"{stage} only {db:.1f} dB"
+
+
+def test_two_tier_stage_report_localises_far_perturbation(rng, monkeypatch):
+    """A corrupted far-tier MAC drops far_block (and the end-to-end stage)
+    while near_block stays clean."""
+    from hisstools_library_tpu.models import partitioned as part
+
+    real = part.PartitionedConvolve.process_block
+
+    def bad(spectra, state, x, **kw):
+        st, y = real(spectra, state, x, **kw)
+        if kw.get("lag0") is None and x.dtype == jnp.float32:
+            y = y * (1.0 + 1e-3)  # far tier only (near carries lag0),
+            return st, y          # device-width side only
+        return st, y
+
+    monkeypatch.setattr(part.PartitionedConvolve, "process_block",
+                        staticmethod(bad))
+    snrs = _two_tier_report(rng)
+    assert snrs["near_block"] > 90.0
+    assert snrs["far_block"] < 75.0
+    assert snrs["two_tier_output"] < 80.0
+
+
 # -- config-5 pipeline decomposition (round 5) --------------------------------
 
 def _pipeline_inputs(rng, sig_len=16384, fs=48000.0):

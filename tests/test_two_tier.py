@@ -157,7 +157,7 @@ def test_handoff_to_process_any_continues_exactly(rng):
         assert snr_db(np.asarray(y_ref), np.asarray(y)) > 250, blk
 
 
-def test_block_state_from_aligned_roundtrip(rng):
+def test_block_state_from_hist_roundtrip(rng):
     """Lifting raw history into a two-tier state continues identically to a
     two-tier run over that same history."""
     ir, mir = _prep(rng)
@@ -176,8 +176,7 @@ def test_block_state_from_aligned_roundtrip(rng):
         run, _ = mono.process(mir, run, jnp.asarray(xs[i:i + h2]))
         i += h2
     hist = xs[-need:]
-    lifted = mono.block_state_from_aligned(
-        mir, mono.aligned_state_from_block(mir, run), jnp.asarray(hist))
+    lifted = mono.block_state_from_hist(mir, jnp.asarray(hist))
     xq = rng.standard_normal(h2)
     _, y_a = mono.process(mir, run, jnp.asarray(xq))
     _, y_b = mono.process(mir, lifted, jnp.asarray(xq))
