@@ -97,7 +97,7 @@ def main(argv=None):
                                     ir[i].astype(np.float64))[:L]
                         for i in range(c)])
 
-        pick = rng.integers(0, 5)
+        pick = rng.integers(0, 6)
         if pick == 0:
             log2n = int(rng.integers(part.MIN_FFT_SIZE_LOG2, 18))
             nfft = 1 << log2n
@@ -171,6 +171,38 @@ def main(argv=None):
             cfg = f"subhop {sizes} c={c} Ls={i} ir={irl}"
             check("subhop_any_blocks", refs, y, cfg,
                   stream_raw=(ir, xs, scheme))
+        elif pick == 5:
+            # Two-tier block streaming (round 5): random scheme whose IR
+            # extends past the far hop; carried MonoBlockState over two calls.
+            base = int(rng.integers(5, 8))
+            sizes = tuple(1 << (base + k)
+                          for k in range(int(rng.integers(2, 5))))
+            zl = bool(rng.integers(0, 2))
+            scheme = PartitionScheme(sizes, zero_latency=zl)
+            prep = mono.prepare_ir(scheme, ir, offline_tail=False)
+            if prep.far is None:
+                continue  # IR too short for this scheme's far hop
+            h2 = prep.far.shape[-1]
+            nb = max(2, min(6, L // h2))
+            Ls = nb * h2
+            xs = (x[:, :Ls] if L >= Ls
+                  else np.pad(x, ((0, 0), (0, Ls - L))))
+            st = mono.init_block_state(scheme, prep, batch_shape=(c,))
+            cut = (nb // 2) * h2
+            st, y1 = mono.process(prep, st, jnp.asarray(xs[:, :cut]),
+                                  backend="pallas")
+            _, y2 = mono.process(prep, st, jnp.asarray(xs[:, cut:]),
+                                 backend="pallas")
+            y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+            lat = scheme.latency
+            refs = np.stack([np.convolve(xs[i].astype(np.float64),
+                                         ir[i].astype(np.float64))[:Ls]
+                             for i in range(c)])
+            if lat:
+                refs = np.concatenate(
+                    [np.zeros((c, lat)), refs[:, :Ls - lat]], axis=-1)
+            cfg = f"two_tier {sizes} zl={zl} c={c} Ls={Ls} ir={irl} H2={h2}"
+            check("two_tier_stream", refs, y, cfg)
         else:
             sizes = (256, 1024)
             scheme = PartitionScheme(sizes, zero_latency=True)
