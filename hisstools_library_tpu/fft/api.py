@@ -127,8 +127,9 @@ def _log2_size(n: int) -> int:
 # routes 1-D transforms to the distributed four-step (parallel/fft_sharded.py)
 # when more than one device is available, and otherwise to the single-chip
 # out-of-core chunked four-step (fft/oversize.py), which covers the full
-# 2^26..2^28 range on ONE chip (round 4). Only >1-D batches above the envelope
-# raise (a batch of transforms this large does not fit HBM).
+# 2^26..2^28 range on ONE chip (round 4). Batches above the envelope loop the
+# out-of-core transform over the leading axes (jax.lax.map, round 5) — HBM
+# capacity, not the compiler, bounds the batch.
 MAX_SINGLE_CHIP_LOG2 = 25
 
 # Measured crossover (round 5, tools/fft_crossover.py on v5e): the chunked
@@ -164,11 +165,11 @@ def _route_large(n: int, ndim: int, real: bool):
             return "oversize"  # measured faster at every probed size
         return None
     if ndim != 1:
-        raise ValueError(
-            f"FFT size {n} exceeds the whole-array staged envelope"
-            f" (2^{MAX_SINGLE_CHIP_LOG2}) and the oversize/sharded handoffs"
-            f" take 1-D signals only (got ndim={ndim}); a batch of transforms"
-            f" this large does not fit HBM — loop over the batch instead.")
+        # Batches above the envelope loop the out-of-core transform over the
+        # leading axes (jax.lax.map — sequential, chunk-resident); the
+        # distributed handoff stays 1-D (its transpose algorithm shards the
+        # transform axis itself). HBM bounds the batch, not the compiler.
+        return "oversize"
     from ..parallel.fft_sharded import real_sharded_eligible, sharded_eligible
     from ..parallel.mesh import make_mesh
     d = len(jax.devices())
@@ -190,7 +191,13 @@ def fft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> Tuple[ja
     route = _route_large(n, re.ndim, real=False)
     if route == "oversize":
         from .oversize import fft_split_oversize
-        return fft_split_oversize(re, im, inverse=False)
+        if re.ndim == 1:
+            return fft_split_oversize(re, im, inverse=False)
+        lead = re.shape[:-1]
+        fr, fi = jax.lax.map(
+            lambda ab: fft_split_oversize(ab[0], ab[1], inverse=False),
+            (re.reshape(-1, n), im.reshape(-1, n)))
+        return fr.reshape(*lead, n), fi.reshape(*lead, n)
     if route is not None:
         from ..parallel.fft_sharded import fft_sharded
         return fft_sharded(route, re, im)
@@ -232,7 +239,11 @@ def rfft(x: jax.Array, backend: Optional[str] = None) -> Tuple[jax.Array, jax.Ar
     route = _route_large(n, x.ndim, real=True)
     if route == "oversize":
         from .oversize import rfft_packed_oversize
-        return rfft_packed_oversize(x)
+        if x.ndim == 1:
+            return rfft_packed_oversize(x)
+        lead = x.shape[:-1]
+        re, im = jax.lax.map(rfft_packed_oversize, x.reshape(-1, n))
+        return (re.reshape(*lead, n // 2), im.reshape(*lead, n // 2))
     if route is not None:
         from ..parallel.fft_sharded import rfft_sharded
         return rfft_sharded(route, x)
@@ -280,7 +291,12 @@ def rifft(re: jax.Array, im: jax.Array, backend: Optional[str] = None) -> jax.Ar
     route = _route_large(n, re.ndim, real=True)
     if route == "oversize":
         from .oversize import rifft_packed_oversize
-        return rifft_packed_oversize(re, im)
+        if re.ndim == 1:
+            return rifft_packed_oversize(re, im)
+        lead = re.shape[:-1]
+        y = jax.lax.map(lambda ab: rifft_packed_oversize(ab[0], ab[1]),
+                        (re.reshape(-1, nbins), im.reshape(-1, nbins)))
+        return y.reshape(*lead, n)
     if route is not None:
         from ..parallel.fft_sharded import rifft_sharded
         return rifft_sharded(route, re, im)

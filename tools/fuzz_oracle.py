@@ -179,9 +179,20 @@ def main(argv=None):
                           for k in range(int(rng.integers(2, 5))))
             zl = bool(rng.integers(0, 2))
             scheme = PartitionScheme(sizes, zero_latency=zl)
-            prep = mono.prepare_ir(scheme, ir, offline_tail=False)
+            ir2 = ir
+            prep = mono.prepare_ir(scheme, ir2, offline_tail=False)
             if prep.far is None:
-                continue  # IR too short for this scheme's far hop
+                # IR too short for this scheme's far hop: extend it so the
+                # two-tier branch always exercises (random tails, same decay).
+                need = mono._far_hop(scheme, max(irl, 4096)) or 4096
+                irl2 = int(need * (2 + rng.integers(0, 3)) +
+                           rng.integers(1, need))
+                ir2 = (rng.standard_normal((c, irl2)) *
+                       np.exp(-np.arange(irl2) / max(irl2 / 4, 1))
+                       * 0.3).astype(np.float32)
+                prep = mono.prepare_ir(scheme, ir2, offline_tail=False)
+                if prep.far is None:
+                    continue
             h2 = prep.far.shape[-1]
             nb = max(2, min(6, L // h2))
             Ls = nb * h2
@@ -196,12 +207,13 @@ def main(argv=None):
             y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
             lat = scheme.latency
             refs = np.stack([np.convolve(xs[i].astype(np.float64),
-                                         ir[i].astype(np.float64))[:Ls]
+                                         ir2[i].astype(np.float64))[:Ls]
                              for i in range(c)])
             if lat:
                 refs = np.concatenate(
                     [np.zeros((c, lat)), refs[:, :Ls - lat]], axis=-1)
-            cfg = f"two_tier {sizes} zl={zl} c={c} Ls={Ls} ir={irl} H2={h2}"
+            cfg = (f"two_tier {sizes} zl={zl} c={c} Ls={Ls} "
+                   f"ir={ir2.shape[-1]} H2={h2}")
             check("two_tier_stream", refs, y, cfg)
         else:
             sizes = (256, 1024)
