@@ -328,13 +328,28 @@ def _hop_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def hop_fire_fits(n: int, c: int, p: int) -> bool:
-    """Kernel feasibility: dense tables + all operands resident in VMEM."""
+    """Kernel feasibility: dense tables + all operands resident in VMEM,
+    plus the TILE-PADDING WASTE of the unrolled slot loop's temporaries.
+
+    Mosaic pads every per-slot temporary to (8, 128) tiles and does NOT
+    reuse the padding across the unrolled iterations — caught on hardware by
+    the round-5 TPU fuzz: a (c=4, N=64, P=888) section aborted at 41 MB
+    scoped where the dense-operand model said 2.8 MB. Charge ~10 temps per
+    slot at (padded - true) size; configs whose dims already tile (c % 8 ==
+    0, k >= 128) are unaffected. P is also capped: the slot loop unrolls P
+    iterations (Mosaic compile time, and the stack grows with P even when
+    tiled)."""
     if n > _HOP_MAX_N or n < 16 or (n & (n - 1)):
+        return False
+    if p > 256:
         return False
     k = n // 2
     tables = 4 * (n * n + k * n)
     data = 4 * c * (2 * n + 6 * p * k + 8 * k)
-    return tables + data <= _HOP_VMEM_BUDGET
+    cp = -(-c // 8) * 8
+    kp = -(-k // 128) * 128
+    pad_waste = 4 * 10 * p * (cp * kp - c * k)
+    return tables + data + pad_waste <= _HOP_VMEM_BUDGET
 
 
 def _hop_fire_kernel(frame_ref, rr_ref, ri_ref, hr_ref, hi_ref, m_ref, w_ref,
